@@ -241,6 +241,32 @@ class TDigest:
             means, counts, self.count, self.compression, reverse
         )
 
+    def flush_sorted(self) -> None:
+        """Fold pending values into the centroid arrays WITHOUT merging
+        (the ``compact=false`` incremental mode, README.md:237-244):
+        values stay as count-1 centroids, sorted into position, up to
+        ~10x larger than a compacted digest.  If the result would
+        exceed BUFFER_SIZE the reference would have compacted anyway
+        (tdigest.c:752-753), so we do too."""
+        if self._pending_n == 0:
+            return
+        if self._pending_n + len(self.means) > buffer_size(self.compression):
+            self.compact()
+            return
+        parts_m = [self.means] + self._pending_means
+        parts_c = [self.counts] + [
+            np.ones(m.size, dtype=np.int64) if c is None else c
+            for m, c in zip(self._pending_means, self._pending_counts)
+        ]
+        means = np.concatenate(parts_m)
+        counts = np.concatenate(parts_c)
+        order = np.lexsort((counts, means))
+        self.means = means[order]
+        self.counts = counts[order]
+        self._pending_means = []
+        self._pending_counts = []
+        self._pending_n = 0
+
     # ------------------------------------------------------------------
     # views
     # ------------------------------------------------------------------
@@ -288,8 +314,12 @@ class TDigest:
     # ------------------------------------------------------------------
     # serialization
     # ------------------------------------------------------------------
-    def to_bytes(self) -> bytes:
-        means, counts = self.centroid_arrays()
+    def to_bytes(self, compact: bool = True) -> bytes:
+        if compact:
+            means, counts = self.centroid_arrays()
+        else:
+            self.flush_sorted()
+            means, counts = self.means, self.counts
         return serialize(means, counts, self.count, self.compression)
 
     @classmethod
@@ -367,7 +397,10 @@ def _rebalance_equal_means(means: np.ndarray, counts: np.ndarray, total: int) ->
         next_group = int(csum[e_i - 1])
         if count_so_far >= median_count:
             counts[s_i:e_i] = counts[s_i:e_i][::-1]
-        elif next_group >= median_count:
+        elif next_group > median_count:
+            # strict: weight_after == 0 (run ends exactly at the median)
+            # degenerates to a no-op in the reference (ratio → inf, NaN
+            # comparisons stay false), i.e. keep ascending order.
             counts[s_i:e_i] = _rebalance_run(
                 counts[s_i:e_i],
                 median_count - count_so_far,

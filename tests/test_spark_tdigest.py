@@ -1,0 +1,234 @@
+"""End-to-end Spark tests for the t-digest aggregates.
+
+Mirrors the reference's parallel_query.sql pattern: the same aggregate
+must produce in-tolerance results through the partial→merge pipeline
+regardless of partitioning, and pre-aggregated digest tables must
+re-aggregate to the same answers.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMALL
+from tdigest_spark.kernel.tdigest import TDigest
+from tdigest_spark.spark import functions as TF
+from tdigest_spark.spark.agg import tree_merge
+from tdigest_spark.spark.tdigest_agg import (
+    tdigest,
+    tdigest_avg,
+    tdigest_count_agg,
+    tdigest_percentile,
+    tdigest_percentile_digests,
+    tdigest_percentile_of,
+    tdigest_sum_digests,
+    tdigest_union_agg,
+)
+
+PS = [0.01, 0.1, 0.5, 0.9, 0.95, 0.99]
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    df = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    return df.select("l_returnflag", "l_extendedprice").cache()
+
+
+@pytest.fixture(scope="module")
+def exact(lineitem):
+    pdf = lineitem.toPandas()
+    return {
+        flag: np.sort(sub["l_extendedprice"].to_numpy())
+        for flag, sub in pdf.groupby("l_returnflag")
+    }
+
+
+def rank_of(sorted_x, v):
+    return float(np.searchsorted(sorted_x, v, side="right")) / len(sorted_x)
+
+
+def test_grouped_percentile_within_bound(lineitem, exact):
+    res = tdigest_percentile(
+        lineitem, "l_extendedprice", 100, 0.95, keys=["l_returnflag"]
+    ).collect()
+    assert len(res) == len(exact)
+    for row in res:
+        err = abs(rank_of(exact[row["l_returnflag"]], row["percentile"]) - 0.95)
+        assert err < 0.01, row
+
+
+def test_grouped_percentile_array_monotonic(lineitem, exact):
+    qs = [i / 100 for i in range(1, 100)]
+    res = tdigest_percentile(
+        lineitem, "l_extendedprice", 100, qs, keys=["l_returnflag"]
+    ).collect()
+    for row in res:
+        v = np.array(row["percentile"])
+        assert np.all(np.diff(v) >= 0)
+        xs = exact[row["l_returnflag"]]
+        errs = [abs(rank_of(xs, e) - q) for q, e in zip(qs, v)]
+        assert max(errs) < 0.01
+
+
+def test_global_percentile(lineitem, exact):
+    res = tdigest_percentile(lineitem, "l_extendedprice", 100, PS).collect()
+    assert len(res) == 1
+    allx = np.sort(np.concatenate(list(exact.values())))
+    for q, e in zip(PS, res[0]["percentile"]):
+        assert abs(rank_of(allx, e) - q) < 0.01
+
+
+def test_partitioning_invariance(lineitem, exact):
+    """parallel_query.sql equivalence: results in-bound for any split."""
+    for k in (1, 7):
+        res = tdigest_percentile(
+            lineitem.repartition(k), "l_extendedprice", 100, 0.5, keys=["l_returnflag"]
+        ).collect()
+        for row in res:
+            err = abs(rank_of(exact[row["l_returnflag"]], row["percentile"]) - 0.5)
+            assert err < 0.01, (k, row)
+
+
+def test_salted_merge_matches_unsalted(lineitem, exact):
+    res = tdigest_percentile(
+        lineitem, "l_extendedprice", 100, 0.9, keys=["l_returnflag"], salt=4
+    ).collect()
+    for row in res:
+        err = abs(rank_of(exact[row["l_returnflag"]], row["percentile"]) - 0.9)
+        assert err < 0.01, row
+
+
+def test_preaggregate_then_reaggregate(lineitem, exact, spark):
+    """README.md:104-133 flagship pattern: digest table → re-aggregate."""
+    dig = tdigest(lineitem, "l_extendedprice", 100, keys=["l_returnflag"])
+    assert dig.count() == len(exact)
+    # per-group query over stored digests
+    per_group = tdigest_percentile_digests(
+        dig, "tdigest", 0.95, keys=["l_returnflag"]
+    ).collect()
+    for row in per_group:
+        err = abs(rank_of(exact[row["l_returnflag"]], row["percentile"]) - 0.95)
+        assert err < 0.01
+    # global rollup across groups — digests compose
+    global_est = tdigest_percentile_digests(dig, "tdigest", 0.5).collect()[0]
+    allx = np.sort(np.concatenate(list(exact.values())))
+    assert abs(rank_of(allx, global_est["percentile"]) - 0.5) < 0.01
+    # union aggregate preserves total count
+    uni = tdigest_union_agg(dig, "tdigest").collect()[0]
+    assert TDigest.from_bytes(bytes(uni["tdigest"])).count == len(allx)
+
+
+def test_value_count_ingestion(spark, lineitem, exact):
+    """(value,count) API: pre-aggregated input == expanded input
+    (value_count_api.sql:143-251)."""
+    vc = lineitem.groupBy("l_returnflag", "l_extendedprice").count()
+    res = tdigest_percentile(
+        vc,
+        "l_extendedprice",
+        100,
+        0.5,
+        keys=["l_returnflag"],
+        count_col="count",
+    ).collect()
+    for row in res:
+        err = abs(rank_of(exact[row["l_returnflag"]], row["percentile"]) - 0.5)
+        assert err < 0.015, row
+
+
+def test_trimmed_avg_vs_exact(lineitem, exact):
+    res = tdigest_avg(
+        lineitem, "l_extendedprice", 100, 0.1, 0.9, keys=["l_returnflag"]
+    ).collect()
+    for row in res:
+        xs = exact[row["l_returnflag"]]
+        n = len(xs)
+        ex = xs[int(np.floor(n * 0.1)) : int(np.ceil(n * 0.9))].mean()
+        assert abs(row["avg"] - ex) / abs(ex) < 0.01, row
+
+
+def test_count_agg(lineitem, exact):
+    res = tdigest_count_agg(
+        lineitem, "l_extendedprice", 100, keys=["l_returnflag"]
+    ).collect()
+    for row in res:
+        assert row["count"] == len(exact[row["l_returnflag"]])
+
+
+def test_scalar_functions(spark, lineitem, exact):
+    dig = tdigest(lineitem, "l_extendedprice", 100, keys=["l_returnflag"]).cache()
+    row = (
+        dig.select(
+            "l_returnflag",
+            TF.tdigest_count("tdigest").alias("cnt"),
+            TF.tdigest_quantile("tdigest", 0.5).alias("p50"),
+            TF.tdigest_json("tdigest").alias("js"),
+            TF.tdigest_double_array("tdigest").alias("arr"),
+            TF.tdigest_to_string("tdigest").alias("txt"),
+            TF.tdigest_digest_avg("tdigest", 0.25, 0.75).alias("iqm"),
+        )
+        .collect()[0]
+    )
+    xs = exact[row["l_returnflag"]]
+    assert row["cnt"] == len(xs)
+    assert abs(rank_of(xs, row["p50"]) - 0.5) < 0.01
+    assert row["js"].startswith('{"flags": 1,')
+    assert row["arr"][0] == 1.0 and int(row["arr"][1]) == len(xs)
+    assert row["txt"].startswith("flags 1 count")
+    lo, hi = int(np.floor(len(xs) * 0.25)), int(np.ceil(len(xs) * 0.75))
+    assert abs(row["iqm"] - xs[lo:hi].mean()) / xs[lo:hi].mean() < 0.02
+    # text roundtrip through tdigest_parse
+    rt = dig.select(
+        TF.tdigest_count(TF.tdigest_parse(TF.tdigest_to_string("tdigest"))).alias("c2"),
+        TF.tdigest_count("tdigest").alias("c1"),
+    ).collect()
+    for r in rt:
+        assert r["c1"] == r["c2"]
+
+
+def test_tdigest_union_scalar(spark):
+    x = np.arange(1.0, 1001.0)
+    d1 = TDigest(100)
+    d1.add_values(x[:500])
+    d2 = TDigest(100)
+    d2.add_values(x[500:])
+    df = spark.createDataFrame(
+        pd.DataFrame({"d1": [d1.to_bytes(), None], "d2": [d2.to_bytes(), d2.to_bytes()]})
+    )
+    res = df.select(TF.tdigest_count(TF.tdigest_union("d1", "d2")).alias("n")).collect()
+    assert res[0]["n"] == 1000  # merged
+    assert res[1]["n"] == 500  # NULL-tolerant: returns the other side
+
+
+def test_tdigest_add_incremental(spark):
+    df = spark.createDataFrame(pd.DataFrame({"d": [None], "v": [[1.0, 2.0, 3.0]]}))
+    res = df.select(
+        TF.tdigest_count(TF.tdigest_add("d", "v", compression=100)).alias("n")
+    ).collect()
+    assert res[0]["n"] == 3
+
+
+def test_tree_merge(lineitem, exact, spark):
+    partials = tdigest(
+        lineitem.repartition(16), "l_extendedprice", 100, keys=["l_returnflag"]
+    )
+    blob = tree_merge(partials, "tdigest", fanout=4)
+    d = TDigest.from_bytes(blob)
+    allx = np.sort(np.concatenate(list(exact.values())))
+    assert d.count == len(allx)
+    assert abs(rank_of(allx, d.quantile(0.5)) - 0.5) < 0.01
+
+
+def test_nulls_and_empty_groups(spark):
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 10 + ["b"] * 5,
+            "v": [float(i) for i in range(10)] + [None] * 5,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    res = {
+        r["g"]: r["percentile"]
+        for r in tdigest_percentile(df, "v", 100, 0.5, keys=["g"]).collect()
+    }
+    assert res["a"] == pytest.approx(4.5, abs=1.0)
+    assert res["b"] is None  # all-NULL group → NULL (tdigest.c:998-1005)
