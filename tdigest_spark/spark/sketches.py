@@ -1,0 +1,351 @@
+"""Companion sketch aggregates: HLL, count-min, KLL, Bloom.
+
+Same two-phase skeleton as the t-digest aggregates (agg.py).  Row
+hashing happens JVM-side with ``F.xxhash64`` inside whole-stage
+codegen — Python only folds pre-hashed int64 columns into NumPy
+register arrays, so there is no per-row Python anywhere.
+
+NULL semantics follow SQL aggregates: NULL values are skipped (the
+hash column is masked to NULL before the UDF and dropped inside).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+)
+
+from tdigest_spark.kernel.bloom import Bloom, merge_all_bloom
+from tdigest_spark.kernel.countmin import CountMin, merge_all_cm
+from tdigest_spark.kernel.hll import HLL, merge_all_hll
+from tdigest_spark.kernel.kll import KLL, merge_all_kll
+from tdigest_spark.spark.agg import sketch_groupby
+
+_HASH_COL = "__h64__"
+
+
+def _with_hash(df: DataFrame, col: str) -> DataFrame:
+    """JVM-side xxhash64, masked to NULL where the input is NULL so the
+    sketch skips missing values (SQL aggregate semantics)."""
+    return df.withColumn(
+        _HASH_COL, F.when(F.col(col).isNotNull(), F.xxhash64(F.col(col)))
+    )
+
+
+def _hashes_of(pdf: pd.DataFrame) -> np.ndarray:
+    s = pdf[_HASH_COL]
+    mask = s.notna()
+    return s[mask].to_numpy(dtype=np.int64, na_value=0)
+
+
+def _group_iter(keys, pdf):
+    if not keys:
+        return [((0,), pdf)]
+    return (
+        (k if isinstance(k, tuple) else (k,), sub)
+        for k, sub in pdf.groupby(list(keys), sort=False, dropna=False)
+    )
+
+
+# ----------------------------------------------------------------------
+# HLL
+# ----------------------------------------------------------------------
+def _hll_consume(keys, p):
+    def consume(pdf, acc):
+        for key, sub in _group_iter(keys, pdf):
+            s = acc.get(key)
+            if s is None:
+                s = acc[key] = HLL(p)
+            s.add_hashes(_hashes_of(sub))
+
+    return consume
+
+
+def hll_sketch(
+    df: DataFrame, col: str, keys: Sequence[str] = (), p: int = 14,
+    result_col: str = "hll", salt: int | None = None,
+) -> DataFrame:
+    """Build a serialized HLL per group (mergeable, re-aggregatable)."""
+    df = _with_hash(df, col)
+    return sketch_groupby(
+        df, keys, _hll_consume(keys, p),
+        lambda s: s.to_bytes(),
+        lambda blobs: (merge_all_hll(HLL.from_bytes(b) for b in blobs).to_bytes()
+                       if blobs else None,),
+        [StructField(result_col, BinaryType(), True)],
+        salt=salt,
+        merge_bytes=lambda blobs: merge_all_hll(
+            HLL.from_bytes(b) for b in blobs
+        ).to_bytes(),
+    )
+
+
+def hll_count_distinct(
+    df: DataFrame, col: str, keys: Sequence[str] = (), p: int = 14,
+    result_col: str = "approx_distinct", salt: int | None = None,
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT col) per group; σ ≈ 1.04/√(2^p)."""
+    df = _with_hash(df, col)
+
+    def fin(blobs):
+        m = merge_all_hll(HLL.from_bytes(b) for b in blobs) if blobs else None
+        return (int(m.cardinality()) if m else 0,)
+
+    return sketch_groupby(
+        df, keys, _hll_consume(keys, p),
+        lambda s: s.to_bytes(), fin,
+        [StructField(result_col, LongType(), True)],
+        salt=salt,
+        merge_bytes=lambda blobs: merge_all_hll(
+            HLL.from_bytes(b) for b in blobs
+        ).to_bytes(),
+    )
+
+
+def hll_cardinality(sketch: Column) -> Column:
+    @pandas_udf(LongType())
+    def f(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: None if b is None else HLL.from_bytes(bytes(b)).cardinality()
+        )
+
+    return f(sketch)
+
+
+def hll_union_agg(
+    df: DataFrame, sketch_col: str, keys: Sequence[str] = (),
+    result_col: str = "hll",
+) -> DataFrame:
+    """Re-aggregate stored HLL sketches (rollup path)."""
+
+    def consume(pdf, acc):
+        for key, sub in _group_iter(keys, pdf):
+            for blob in sub[sketch_col]:
+                if blob is None:
+                    continue
+                s = HLL.from_bytes(bytes(blob))
+                cur = acc.get(key)
+                if cur is None:
+                    acc[key] = s
+                else:
+                    cur.merge(s)
+
+    return sketch_groupby(
+        df, keys, consume, lambda s: s.to_bytes(),
+        lambda blobs: (merge_all_hll(HLL.from_bytes(b) for b in blobs).to_bytes()
+                       if blobs else None,),
+        [StructField(result_col, BinaryType(), True)],
+    )
+
+
+# ----------------------------------------------------------------------
+# count-min
+# ----------------------------------------------------------------------
+def _cm_consume(keys, width, depth, count_col):
+    def consume(pdf, acc):
+        for key, sub in _group_iter(keys, pdf):
+            s = acc.get(key)
+            if s is None:
+                s = acc[key] = CountMin(width, depth)
+            hs = sub[_HASH_COL]
+            mask = hs.notna()
+            h = hs[mask].to_numpy(dtype=np.int64, na_value=0)
+            if count_col is None:
+                s.add_hashes(h)
+            else:
+                c = sub[count_col][mask].to_numpy(dtype=np.int64, na_value=0)
+                s.add_hashes(h, c)
+
+    return consume
+
+
+def countmin_sketch(
+    df: DataFrame, col: str, keys: Sequence[str] = (),
+    width: int = 2048, depth: int = 5, count_col: str | None = None,
+    result_col: str = "countmin", salt: int | None = None,
+) -> DataFrame:
+    """Build a serialized count-min sketch of value frequencies per
+    group.  Point estimates are one-sided: est >= true, est <= true +
+    (e/width)·N with prob 1-(1/e)^depth."""
+    df = _with_hash(df, col)
+    return sketch_groupby(
+        df, keys, _cm_consume(keys, width, depth, count_col),
+        lambda s: s.to_bytes(),
+        lambda blobs: (merge_all_cm(CountMin.from_bytes(b) for b in blobs).to_bytes()
+                       if blobs else None,),
+        [StructField(result_col, BinaryType(), True)],
+        salt=salt,
+        merge_bytes=lambda blobs: merge_all_cm(
+            CountMin.from_bytes(b) for b in blobs
+        ).to_bytes(),
+    )
+
+
+def countmin_estimate(sketch: Column, probe: Column) -> Column:
+    """Estimated frequency of ``probe`` (any type) in the sketch.
+    The probe is hashed JVM-side with the same xxhash64."""
+    probe_hash = F.when(probe.isNotNull(), F.xxhash64(probe))
+
+    @pandas_udf(LongType())
+    def f(s: pd.Series, h: pd.Series) -> pd.Series:
+        cache: dict[bytes, CountMin] = {}
+        out = []
+        for blob, hv in zip(s, h):
+            if blob is None or hv is None or (isinstance(hv, float) and np.isnan(hv)):
+                out.append(None)
+                continue
+            bb = bytes(blob)
+            cm = cache.get(bb)
+            if cm is None:
+                cm = cache[bb] = CountMin.from_bytes(bb)
+            out.append(int(cm.estimate_hashes(np.array([hv], dtype=np.int64))[0]))
+        return pd.Series(out, dtype="object")
+
+    return f(sketch, probe_hash)
+
+
+def countmin_total(sketch: Column) -> Column:
+    @pandas_udf(LongType())
+    def f(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: None if b is None else CountMin.from_bytes(bytes(b)).total)
+
+    return f(sketch)
+
+
+# ----------------------------------------------------------------------
+# Bloom
+# ----------------------------------------------------------------------
+def bloom_filter(
+    df: DataFrame, col: str, keys: Sequence[str] = (),
+    m: int = 1 << 20, k: int = 5,
+    result_col: str = "bloom", salt: int | None = None,
+) -> DataFrame:
+    """Build a serialized Bloom filter of the values per group."""
+    df = _with_hash(df, col)
+
+    def consume(pdf, acc):
+        for key, sub in _group_iter(keys, pdf):
+            s = acc.get(key)
+            if s is None:
+                s = acc[key] = Bloom(m, k)
+            s.add_hashes(_hashes_of(sub))
+
+    return sketch_groupby(
+        df, keys, consume, lambda s: s.to_bytes(),
+        lambda blobs: (merge_all_bloom(Bloom.from_bytes(b) for b in blobs).to_bytes()
+                       if blobs else None,),
+        [StructField(result_col, BinaryType(), True)],
+        salt=salt,
+        merge_bytes=lambda blobs: merge_all_bloom(
+            Bloom.from_bytes(b) for b in blobs
+        ).to_bytes(),
+    )
+
+
+def bloom_might_contain(sketch: Column, probe: Column) -> Column:
+    """Membership probe (no false negatives)."""
+    probe_hash = F.when(probe.isNotNull(), F.xxhash64(probe))
+
+    @pandas_udf(BooleanType())
+    def f(s: pd.Series, h: pd.Series) -> pd.Series:
+        cache: dict[bytes, Bloom] = {}
+        out = []
+        for blob, hv in zip(s, h):
+            if blob is None or hv is None or (isinstance(hv, float) and np.isnan(hv)):
+                out.append(None)
+                continue
+            bb = bytes(blob)
+            bl = cache.get(bb)
+            if bl is None:
+                bl = cache[bb] = Bloom.from_bytes(bb)
+            out.append(bool(bl.contains_hashes(np.array([hv], dtype=np.int64))[0]))
+        return pd.Series(out, dtype="object")
+
+    return f(sketch, probe_hash)
+
+
+# ----------------------------------------------------------------------
+# KLL
+# ----------------------------------------------------------------------
+def _kll_consume(keys, value_col, k):
+    def consume(pdf, acc):
+        for key, sub in _group_iter(keys, pdf):
+            s = acc.get(key)
+            if s is None:
+                s = acc[key] = KLL(k)
+            s.add_values(sub[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
+
+    return consume
+
+
+def kll_sketch(
+    df: DataFrame, value_col: str, keys: Sequence[str] = (), k: int = 200,
+    result_col: str = "kll", salt: int | None = None,
+) -> DataFrame:
+    return sketch_groupby(
+        df, keys, _kll_consume(keys, value_col, k),
+        lambda s: s.to_bytes(),
+        lambda blobs: (merge_all_kll(KLL.from_bytes(b) for b in blobs).to_bytes()
+                       if blobs else None,),
+        [StructField(result_col, BinaryType(), True)],
+        salt=salt,
+        merge_bytes=lambda blobs: merge_all_kll(
+            KLL.from_bytes(b) for b in blobs
+        ).to_bytes(),
+    )
+
+
+def kll_quantile(
+    df: DataFrame, value_col: str, q: float, keys: Sequence[str] = (),
+    k: int = 200, result_col: str = "quantile", salt: int | None = None,
+) -> DataFrame:
+    """Approximate quantile with uniform rank error ~O(1/k) — the
+    cross-check estimator next to tdigest_percentile."""
+
+    def fin(blobs):
+        m = merge_all_kll(KLL.from_bytes(b) for b in blobs) if blobs else None
+        return (float(m.quantile(q)) if m and m.n else None,)
+
+    return sketch_groupby(
+        df, keys, _kll_consume(keys, value_col, k),
+        lambda s: s.to_bytes(), fin,
+        [StructField(result_col, DoubleType(), True)],
+        salt=salt,
+    )
+
+
+def kll_rank(sketch: Column, value: float) -> Column:
+    vv = float(value)
+
+    @pandas_udf(DoubleType())
+    def f(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: None
+            if b is None
+            else float(KLL.from_bytes(bytes(b)).rank_of([vv])[0])
+        )
+
+    return f(sketch)
+
+
+def kll_quantile_of_sketch(sketch: Column, q: float) -> Column:
+    qq = float(q)
+
+    @pandas_udf(DoubleType())
+    def f(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: None if b is None else KLL.from_bytes(bytes(b)).quantile(qq)
+        )
+
+    return f(sketch)

@@ -204,6 +204,118 @@ def q_tdigest_partition_invariance(spark: SparkSession, sf_dir: str) -> DataFram
     return out.orderBy("l_returnflag")
 
 
+# ----------------------------------------------------------------------
+# companion sketches (HLL / count-min / KLL / Bloom)
+# ----------------------------------------------------------------------
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx distinct vs exact COUNT(DISTINCT) within 5% (p=14,
+    sigma=0.81%)."""
+    from tdigest_spark.spark.sketches import hll_count_distinct
+
+    ord_ = _read(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey")
+    est = hll_count_distinct(ord_, "o_custkey", keys=["o_orderstatus"])
+    exact = ord_.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_d")
+    )
+    return (
+        est.join(exact, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            (
+                F.abs(F.col("approx_distinct") / F.col("exact_d") - 1.0) < 0.05
+            ).alias("ok"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates: one-sided (est >= exact) and within
+    eps*N overestimate for every event type."""
+    from tdigest_spark.spark.sketches import countmin_estimate, countmin_sketch
+
+    ev = _read(spark, sf_dir, "events").select("event_type")
+    cm = countmin_sketch(ev, "event_type", width=2048, depth=5)
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    probed = exact.crossJoin(F.broadcast(cm)).select(
+        "event_type",
+        "n",
+        countmin_estimate(F.col("countmin"), F.col("event_type")).alias("est"),
+    )
+    total = ev.count()
+    return probed.select(
+        "event_type",
+        "n",
+        ((F.col("est") >= F.col("n")) & (F.col("est") <= F.col("n") + 0.01 * total)).alias(
+            "ok"
+        ),
+    ).orderBy("event_type")
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter over customer keys: every order's customer must hit
+    (no false negatives); shifted non-member keys rarely hit."""
+    from tdigest_spark.spark.sketches import bloom_filter, bloom_might_contain
+
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    bl = bloom_filter(cust, "c_custkey", m=1 << 20, k=5)
+    ord_keys = _read(spark, sf_dir, "orders").select("o_custkey").distinct()
+    probed = ord_keys.crossJoin(F.broadcast(bl))
+    hits = probed.select(
+        bloom_might_contain(F.col("bloom"), F.col("o_custkey")).alias("hit"),
+        bloom_might_contain(
+            F.col("bloom"), (F.col("o_custkey") + 100_000_000)
+        ).alias("fp_hit"),
+    )
+    return hits.agg(
+        F.sum(F.col("hit").cast("long")).alias("n_members_found"),
+        (F.sum((~F.col("hit")).cast("long")) == 0).alias("no_false_negatives"),
+        (F.avg(F.col("fp_hit").cast("double")) < 0.02).alias("fp_rate_ok"),
+    )
+
+
+def q_kll_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL median rank error < 2% AND t-digest/KLL cross-check agree."""
+    from tdigest_spark.spark.sketches import kll_quantile
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "value")
+    kll_est = kll_quantile(ev, "value", 0.5, keys=["event_type"], k=200)
+    td_est = tdigest_percentile(ev, "value", 100, 0.5, keys=["event_type"])
+    ranks = (
+        ev.join(F.broadcast(kll_est), "event_type")
+        .join(F.broadcast(td_est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.avg((F.col("value") <= F.col("quantile")).cast("double")).alias("kr"),
+            F.avg((F.col("value") <= F.col("percentile")).cast("double")).alias("tr"),
+        )
+    )
+    return ranks.select(
+        "event_type",
+        (F.abs(F.col("kr") - 0.5) < 0.02).alias("kll_ok"),
+        (F.abs(F.col("kr") - F.col("tr")) < 0.02).alias("cross_ok"),
+    ).orderBy("event_type")
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketches built per group re-aggregate to the global distinct
+    (register-max merge is lossless)."""
+    from tdigest_spark.spark.sketches import (
+        hll_cardinality,
+        hll_sketch,
+        hll_union_agg,
+    )
+
+    ord_ = _read(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey")
+    per = hll_sketch(ord_, "o_custkey", keys=["o_orderstatus"])
+    rolled = hll_union_agg(per, "hll")
+    est = rolled.select(hll_cardinality("hll").alias("est"))
+    exact = ord_.agg(F.countDistinct("o_custkey").alias("exact_d"))
+    return est.crossJoin(exact).select(
+        (F.abs(F.col("est") / F.col("exact_d") - 1.0) < 0.05).alias("ok")
+    )
+
+
 TDIGEST_QUERIES = {
     "tdigest_p95": q_tdigest_p95,
     "tdigest_docs_p95": q_tdigest_docs_p95,
@@ -214,6 +326,34 @@ TDIGEST_QUERIES = {
     "tdigest_reaggregate": q_tdigest_reaggregate,
     "tdigest_serialization": q_tdigest_serialization,
     "tdigest_partition_invariance": q_tdigest_partition_invariance,
+}
+
+SKETCH_QUERIES = {
+    "hll_distinct": q_hll_distinct,
+    "hll_rollup": q_hll_rollup,
+    "countmin_heavy_hitters": q_countmin_heavy_hitters,
+    "bloom_membership": q_bloom_membership,
+    "kll_median": q_kll_median,
+}
+
+SKETCH_ORACLES = {
+    "hll_distinct": (
+        "SELECT o_orderstatus, TRUE AS ok FROM orders "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
+    "hll_rollup": "SELECT TRUE AS ok",
+    "countmin_heavy_hitters": (
+        "SELECT event_type, COUNT(*) AS n, TRUE AS ok FROM events "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+    "bloom_membership": (
+        "SELECT COUNT(DISTINCT o_custkey) AS n_members_found, "
+        "TRUE AS no_false_negatives, TRUE AS fp_rate_ok FROM orders"
+    ),
+    "kll_median": (
+        "SELECT event_type, TRUE AS kll_ok, TRUE AS cross_ok FROM events "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
 }
 
 TDIGEST_ORACLES = {
@@ -257,8 +397,8 @@ TDIGEST_ORACLES = {
 
 
 def all_queries():
-    return dict(TDIGEST_QUERIES)
+    return {**TDIGEST_QUERIES, **SKETCH_QUERIES}
 
 
 def all_oracles():
-    return dict(TDIGEST_ORACLES)
+    return {**TDIGEST_ORACLES, **SKETCH_ORACLES}
