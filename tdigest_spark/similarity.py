@@ -1,0 +1,214 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+* ``cosine_topk``            — exact brute-force baseline: the (small)
+  query set is broadcast as a NumPy matrix; every partition computes a
+  block matmul over its Arrow batches and emits only its local top-k,
+  which a final merge reduces.  Shuffle volume is O(#partitions·q·k),
+  never O(n).
+* ``cosine_pairs_above``     — all-pairs similarity join above a
+  threshold for moderate corpus sizes (exact verifier for near-dup).
+* ``rp_lsh_buckets`` / ``rp_lsh_topk`` — random-hyperplane LSH: L
+  independent b-bit sign buckets per vector; candidates share a bucket
+  in ≥1 table.  This is the 100 TB path: bucketing is a narrow map, the
+  candidate join is an equi-join on (table, bucket).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _to_matrix(series: pd.Series) -> np.ndarray:
+    return np.array([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    ``queries``: [(query_id, vector), ...] — broadcast to every task.
+    Two-phase: per-partition block matmul + local top-k, then a global
+    merge per query id.
+    """
+    spark = df.sparkSession
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    partial_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def local_topk(batches):
+        qids_, qmat_ = bc.value
+        best_sims = np.full((len(qids_), k), -np.inf)
+        best_ids = np.full((len(qids_), k), -1, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = _normalize(_to_matrix(pdf[vec_col]))
+            sims = qmat_ @ mat.T  # (q, batch)
+            # merge batch into running top-k per query
+            all_sims = np.concatenate([best_sims, sims], axis=1)
+            all_ids = np.concatenate(
+                [best_ids, np.broadcast_to(ids, (len(qids_), ids.size))], axis=1
+            )
+            sel = np.argpartition(-all_sims, kth=min(k - 1, all_sims.shape[1] - 1), axis=1)[
+                :, :k
+            ]
+            rows = np.arange(len(qids_))[:, None]
+            best_sims = all_sims[rows, sel]
+            best_ids = all_ids[rows, sel]
+        mask = best_ids.ravel() >= 0
+        yield pd.DataFrame(
+            {
+                "query_id": np.repeat(qids_, k)[mask],
+                "neighbor_id": best_ids.ravel()[mask],
+                "sim": best_sims.ravel()[mask],
+            }
+        )
+
+    partials = df.select(id_col, vec_col).mapInPandas(local_topk, partial_schema)
+
+    result_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("rank", IntegerType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def global_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("sim", ascending=False).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy(),
+                "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                "rank": np.arange(1, len(pdf) + 1, dtype=np.int32),
+                "sim": pdf["sim"].to_numpy(),
+            }
+        )
+
+    return partials.groupBy("query_id").applyInPandas(global_merge, result_schema)
+
+
+def cosine_pairs_above(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine similarity >= threshold.
+
+    Exact O(n²/P) block matmul: one side is collected+broadcast (fits
+    for verification-scale corpora), partitions stream the other side.
+    For 100 TB corpora use rp_lsh_buckets to restrict to candidates
+    first."""
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    schema = StructType(
+        [StructField("id_a", LongType()), StructField("id_b", LongType())]
+    )
+
+    def block(batches):
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            bmat = _normalize(_to_matrix(pdf[vec_col]))
+            sims = bmat @ all_mat.T  # (batch, n)
+            bi, aj = np.nonzero(sims >= threshold)
+            left = bids[bi]
+            right = all_ids[aj]
+            keep = left < right
+            yield pd.DataFrame({"id_a": left[keep], "id_b": right[keep]})
+
+    return df.select(id_col, vec_col).mapInPandas(block, schema).distinct()
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_tables: int = 8,
+    n_bits: int = 8,
+    seed: int = 42,
+    result_col: str = "buckets",
+) -> DataFrame:
+    """Random-hyperplane LSH: per vector, L sign-pattern bucket ids.
+    Vectors within angle θ collide in one table with prob
+    (1 - θ/π)^b per table."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_tables, n_bits, dim)
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(result_col, ArrayType(LongType())),
+        ]
+    )
+
+    def bucketize(batches):
+        weights = 1 << np.arange(n_bits, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = _to_matrix(pdf[vec_col])
+            out = np.empty((len(ids), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                signs = (mat @ planes[t].T) > 0  # (batch, bits)
+                out[:, t] = (signs * weights).sum(axis=1) + (t << 32)
+            yield pd.DataFrame({id_col: ids, result_col: list(out)})
+
+    return df.select(id_col, vec_col).mapInPandas(bucketize, schema)
+
+
+def rp_lsh_candidate_pairs(
+    bucket_df: DataFrame, id_col: str, bucket_col: str = "buckets"
+) -> DataFrame:
+    """Candidate pairs = vectors sharing any (table, bucket) key."""
+    exploded = bucket_df.select(
+        F.col(id_col), F.explode(F.col(bucket_col)).alias("bucket")
+    )
+    grouped = (
+        exploded.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) ->"
+                " transform(slice(ids, i + 2, size(ids)), y -> struct(x, y))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select(
+        F.col("p.x").alias("id_a"), F.col("p.y").alias("id_b")
+    ).distinct()

@@ -316,6 +316,194 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text)
+# ----------------------------------------------------------------------
+def _docs_with_copies(spark: SparkSession, sf_dir: str):
+    """documents ∪ exact copies (+1M ids) — the planted-duplicates
+    fixture used by the dedup queries (the base table has no exact
+    duplicates, so we synthesize them deterministically in-query)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return docs.unionByName(copies)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup finds precisely the planted copy pairs."""
+    from tdigest_spark.dedup import exact_dup_pairs
+
+    both = _docs_with_copies(spark, sf_dir)
+    return exact_dup_pairs(both, "doc_id", "text").orderBy("keep_id")
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH catches planted exact copies (always) and ' zzz'-
+    mutated near-dups (Jaccard ≈ 0.9+; 32 bands × 4 rows ⇒ miss prob
+    < 1e-10 per pair)."""
+    from tdigest_spark.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    all_docs = docs.unionByName(copies).unionByName(mutated)
+    sigs = minhash_signatures(all_docs, "doc_id", "text")
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=32)
+    return cands.agg(
+        F.sum(
+            ((F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") < 1_000_000))
+            .cast("long")
+        ).alias("exact_caught"),
+        F.sum(
+            ((F.col("id_b") - F.col("id_a") == 2_000_000) & (F.col("id_a") < 1_000_000))
+            .cast("long")
+        ).alias("near_caught"),
+    )
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash chunk banding: identical docs (Hamming 0) all found."""
+    from tdigest_spark.dedup import simhash64, simhash_candidate_pairs
+
+    both = _docs_with_copies(spark, sf_dir)
+    sh = both.select("doc_id", simhash64(F.col("text")).alias("sh"))
+    cands = simhash_candidate_pairs(sh, "doc_id", "sh", n_chunks=8)
+    return cands.agg(
+        F.sum(
+            ((F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("hamming") == 0))
+            .cast("long")
+        ).alias("identical_caught")
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard of each doc vs its ' zzz'-mutated twin:
+    all pairs similar (>0.5) but none identical (<1)."""
+    from tdigest_spark.dedup import ngram_jaccard
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = docs.select(
+        "doc_id",
+        ngram_jaccard(F.col("text"), F.concat("text", F.lit(" zzz")), k=5).alias("j"),
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.every((F.col("j") > 0.5) & (F.col("j") < 1.0)).alias("all_similar"),
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors of the first 10 vectors —
+    exact, verified against DuckDB list_cosine_similarity."""
+    from tdigest_spark.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 10).collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    res = cosine_topk(emb.filter(F.col("vec_id") >= 10), "vec_id", "embedding", queries, k=3)
+    return res.select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+
+
+def q_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine >= 0.4 (exact block matmul)."""
+    from tdigest_spark.similarity import cosine_pairs_above
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_pairs_above(emb, "vec_id", "embedding", 0.4).orderBy("id_a", "id_b")
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH candidates cover >= 80% of true pairs
+    (cos >= 0.4); n_true is exact and oracle-checkable."""
+    from tdigest_spark.similarity import (
+        cosine_pairs_above,
+        rp_lsh_buckets,
+        rp_lsh_candidate_pairs,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    true_pairs = cosine_pairs_above(emb, "vec_id", "embedding", 0.4)
+    buckets = rp_lsh_buckets(emb, "vec_id", "embedding", dim=64, n_tables=16, n_bits=4)
+    cands = rp_lsh_candidate_pairs(buckets, "vec_id")
+    hit = true_pairs.join(cands, ["id_a", "id_b"], "left_semi")
+    return true_pairs.agg(F.count("*").alias("n_true")).crossJoin(
+        hit.agg(F.count("*").alias("n_hit"))
+    ).select(
+        "n_true",
+        (F.col("n_hit") >= F.col("n_true") * 0.8).alias("recall_ok"),
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact whitespace-token totals per language (pure JVM split)."""
+    from tdigest_spark.text import token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs passing the quality gate per source — exact, replicated in
+    the DuckDB oracle expression-for-expression."""
+    from tdigest_spark.text import quality_pass
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.sum(quality_pass(F.col("text")).cast("long")).alias("n_pass"))
+        .orderBy("source")
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID accuracy on a deterministic multilingual
+    probe corpus (the documents table shares one synthetic vocabulary
+    across langs, so real language evidence must be synthesized)."""
+    from tdigest_spark.text import lang_id
+
+    samples = [
+        (1, "the cat sat on the mat and it was happy with all of this", "en"),
+        (2, "der hund und die katze sind in dem haus mit einer maus", "de"),
+        (3, "le chat est dans la maison avec un chien et il ne dort pas", "fr"),
+        (4, "el perro y el gato están en la casa con un ratón muy pequeño", "es"),
+        (5, "o cachorro e o gato estão em uma casa com um rato pequeno", "pt"),
+        (6, "de hond en de kat zijn in het huis met een muis en ze slapen", "nl"),
+        (7, "il cane e il gatto sono in una casa con un topo che dorme", "it"),
+        (8, "这是一个中文句子没有空格也可以检测出来", "zh"),
+    ]
+    df = spark.createDataFrame(samples, ["id", "txt", "expected"])
+    res = lang_id(df, "txt", "id")
+    return res.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("lang_pred") == F.col("expected")).cast("long")).alias("correct"),
+    )
+
+
+def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints of planted copies match their originals."""
+    from tdigest_spark.text import content_fingerprint
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = docs.select("doc_id", content_fingerprint(F.col("text")).alias("fp"))
+    fp_copy = docs.select(
+        "doc_id", content_fingerprint(F.concat(F.lit("  "), "text", F.lit(" "))).alias("fp2")
+    )
+    j = fp.join(fp_copy, "doc_id")
+    return j.agg(
+        F.count("*").alias("n_docs"),
+        F.every(F.col("fp") == F.col("fp2")).alias("normalization_stable"),
+    )
+
+
 TDIGEST_QUERIES = {
     "tdigest_p95": q_tdigest_p95,
     "tdigest_docs_p95": q_tdigest_docs_p95,
@@ -396,9 +584,86 @@ TDIGEST_ORACLES = {
 }
 
 
+PIPELINE_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_dups": q_simhash_dups,
+    "ngram_jaccard": q_ngram_jaccard,
+    "cosine_topk": q_cosine_topk,
+    "cosine_threshold_pairs": q_cosine_threshold_pairs,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "token_stats": q_token_stats,
+    "quality_filter": q_quality_filter,
+    "lang_id": q_lang_id,
+    "fingerprint_dups": q_fingerprint_dups,
+}
+
+_QUALITY_SQL = (
+    "length(text) >= 100 AND length(text) <= 100000"
+    " AND (CASE WHEN length(text) > 0 THEN"
+    " CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)"
+    " / length(text) ELSE 0 END) <= 0.1"
+    " AND (CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0 THEN"
+    " CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)"
+    " / len(regexp_split_to_array(trim(text), '\\s+')) ELSE 0 END)"
+    " BETWEEN 2.0 AND 12.0"
+)
+
+PIPELINE_ORACLES = {
+    "dedup_exact": (
+        "SELECT doc_id AS keep_id, doc_id + 1000000 AS dup_id FROM documents "
+        "ORDER BY keep_id"
+    ),
+    "minhash_lsh": (
+        "SELECT COUNT(*) AS exact_caught, COUNT(*) AS near_caught FROM documents"
+    ),
+    "simhash_dups": "SELECT COUNT(*) AS identical_caught FROM documents",
+    "ngram_jaccard": (
+        "SELECT COUNT(*) AS n_pairs, TRUE AS all_similar FROM documents"
+    ),
+    "cosine_topk": (
+        "WITH sims AS ("
+        " SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,"
+        "  list_cosine_similarity(a.embedding, b.embedding) AS sim"
+        " FROM embeddings a, embeddings b"
+        " WHERE a.vec_id < 10 AND b.vec_id >= 10),"
+        "ranked AS (SELECT query_id, neighbor_id,"
+        " CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC)"
+        " AS INT) AS rank FROM sims) "
+        "SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3 "
+        "ORDER BY query_id, rank"
+    ),
+    "cosine_threshold_pairs": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a, embeddings b"
+        " WHERE a.vec_id < b.vec_id"
+        " AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+        " ORDER BY id_a, id_b"
+    ),
+    "ann_lsh_recall": (
+        "SELECT COUNT(*) AS n_true, TRUE AS recall_ok FROM embeddings a, embeddings b"
+        " WHERE a.vec_id < b.vec_id"
+        " AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+    ),
+    "token_stats": (
+        "SELECT lang, COUNT(*) AS n_docs,"
+        " SUM(CASE WHEN length(trim(text)) = 0 THEN 0"
+        " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_tokens"
+        " FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    "quality_filter": (
+        "SELECT source, SUM(CASE WHEN " + _QUALITY_SQL + " THEN 1 ELSE 0 END)"
+        " AS n_pass FROM documents GROUP BY source ORDER BY source"
+    ),
+    "lang_id": "SELECT CAST(8 AS BIGINT) AS n, CAST(8 AS BIGINT) AS correct",
+    "fingerprint_dups": (
+        "SELECT COUNT(*) AS n_docs, TRUE AS normalization_stable FROM documents"
+    ),
+}
+
+
 def all_queries():
-    return {**TDIGEST_QUERIES, **SKETCH_QUERIES}
+    return {**TDIGEST_QUERIES, **SKETCH_QUERIES, **PIPELINE_QUERIES}
 
 
 def all_oracles():
-    return {**TDIGEST_ORACLES, **SKETCH_ORACLES}
+    return {**TDIGEST_ORACLES, **SKETCH_ORACLES, **PIPELINE_ORACLES}

@@ -1,0 +1,187 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything except winnowing stays JVM-side (split/regexp/broadcast-join
+inside whole-stage codegen) — no per-row Python in the hot path:
+
+* token counting      — whitespace and BPE-ish regex token counts
+* quality scoring     — length / punctuation / word-shape metrics + filter
+* language ID         — stopword broadcast-join voting + CJK char classes
+* fingerprinting      — content hash (xxhash64) JVM-side; winnowing
+                        (k-gram rolling hash, window minimum) as an
+                        Arrow-batched pandas UDF
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+# ----------------------------------------------------------------------
+# tokens
+# ----------------------------------------------------------------------
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of BPE-ish units: letter runs, digit runs, single symbols."""
+    return F.coalesce(F.regexp_count(text, F.lit(_BPE_ISH)), F.lit(0))
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+# ----------------------------------------------------------------------
+# quality
+# ----------------------------------------------------------------------
+def quality_metrics(text: Column):
+    """Struct of cheap quality signals (all JVM expressions)."""
+    n_chars = F.length(text)
+    n_words = token_count(text)
+    n_punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    n_nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    mean_word_len = F.when(n_words > 0, n_nonspace / n_words).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    return F.struct(
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        mean_word_len.alias("mean_word_len"),
+    )
+
+
+def quality_pass(
+    text: Column,
+    min_chars: int = 100,
+    max_chars: int = 100_000,
+    max_punct_ratio: float = 0.1,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+) -> Column:
+    """Gopher-style keep/drop filter from the metrics above."""
+    m = quality_metrics(text)
+    return (
+        (m["n_chars"] >= min_chars)
+        & (m["n_chars"] <= max_chars)
+        & (m["punct_ratio"] <= max_punct_ratio)
+        & (m["mean_word_len"] >= min_mean_word_len)
+        & (m["mean_word_len"] <= max_mean_word_len)
+    )
+
+
+# ----------------------------------------------------------------------
+# language identification
+# ----------------------------------------------------------------------
+_STOPWORDS = {
+    "en": "the of and to in is you that it he was for on are as with his they at be this have from or one had by word but not what all were we when your can said there use an each which she do how their if",
+    "de": "der die und in den von zu das mit sich des auf für ist im dem nicht ein eine als auch es an werden aus er hat dass sie nach wird bei einer um am sind noch wie einem über",
+    "fr": "le de un être et à il avoir ne je son que se qui ce dans en du elle au pour pas vous par sur faire plus dire me on mon lui nous comme mais",
+    "es": "de la que el en y a los del se las por un para con no una su al lo como más pero sus le ya o este sí porque esta entre cuando muy sin",
+    "it": "di e il la che è per un in una sono mi si lo ma ho non con se come io questo qui hai del più al",
+    "pt": "de a o que e do da em um para é com não uma os no se na por mais as dos como mas foi ao ele das tem à seu sua ou ser quando muito",
+    "nl": "de het een van ik te dat die in en zij is niet op aan met als voor had er maar om hem dan zou of wat mijn men dit zo door over ze",
+}
+
+
+def _stopword_df(spark):
+    rows = [
+        (lang, tok) for lang, words in _STOPWORDS.items() for tok in words.split()
+    ]
+    return spark.createDataFrame(rows, ["__lang__", "__tok__"])
+
+
+def lang_id(
+    df: DataFrame, text_col: str, id_col: str, result_col: str = "lang_pred"
+) -> DataFrame:
+    """Heuristic language ID: explode tokens → broadcast-join a stopword
+    table → vote per document; CJK script detection overrides (no
+    whitespace-token stopwords in zh/ja).  Returns df + prediction
+    column ('und' when no evidence).  All JVM-side."""
+    spark = df.sparkSession
+    toks = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("__tok__"))
+    votes = (
+        toks.join(F.broadcast(_stopword_df(spark)), "__tok__")
+        .groupBy(id_col, "__lang__")
+        .agg(F.count("*").alias("__votes__"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("__votes__"), F.asc("__lang__")
+    )
+    best = (
+        votes.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(id_col, F.col("__lang__").alias("__best__"))
+    )
+    cjk = F.coalesce(
+        F.regexp_count(F.col(text_col), F.lit(r"[一-鿿]")), F.lit(0)
+    )
+    return (
+        df.join(best, id_col, "left")
+        .withColumn(
+            result_col,
+            F.when(cjk * 2 > F.length(F.col(text_col)), F.lit("zh")).otherwise(
+                F.coalesce(F.col("__best__"), F.lit("und"))
+            ),
+        )
+        .drop("__best__")
+    )
+
+
+# ----------------------------------------------------------------------
+# fingerprinting
+# ----------------------------------------------------------------------
+def content_fingerprint(text: Column) -> Column:
+    """64-bit whole-document fingerprint of whitespace-normalized,
+    lowercased text (JVM xxhash64)."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.xxhash64(normalized)
+
+
+_WINNOW_BASE = np.uint64(1000003)
+_WINNOW_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _winnow_one(text: str, k: int, window: int) -> list[int]:
+    """Winnowing (Schleimer et al. 2003): k-gram rolling polynomial
+    hashes, keep the minimum of each sliding window, dedup consecutive.
+    NumPy-vectorized per document."""
+    data = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+    n = data.size - k + 1
+    if n <= 0:
+        return []
+    with np.errstate(over="ignore"):
+        powers = np.empty(k, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        for i in range(1, k):
+            powers[i] = powers[i - 1] * _WINNOW_BASE
+        # hash of each k-gram: sum(byte[i] * base^(k-1-i)) — computed via
+        # sliding windows (stride trick) x reversed powers
+        win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+        hashes = (win * powers[::-1]).sum(axis=1, dtype=np.uint64)
+    if hashes.size <= window:
+        return [int(hashes.min().view(np.int64))]
+    mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)
+    keep = np.concatenate(([True], np.diff(mins) != 0))
+    return [int(v) for v in mins[keep].view(np.int64)]
+
+
+def winnow_fingerprints(text: Column, k: int = 8, window: int = 16) -> Column:
+    """array<long> winnowing fingerprint of a document; identical
+    documents share identical fingerprint arrays, near-identical
+    documents share most elements."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def f(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: None if t is None else _winnow_one(t, k, window))
+
+    return f(text)

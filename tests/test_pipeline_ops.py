@@ -1,0 +1,275 @@
+"""Tests for the training-data pipeline operators: dedup families,
+similarity search, text analysis, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from tdigest_spark import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """documents plus an exact copy (+1M ids) and a mutated copy (+2M)."""
+    copies = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    mutated = docs.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(copies).unionByName(mutated).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").cache()
+
+
+# ----------------------------------------------------------------------
+# exact dedup
+# ----------------------------------------------------------------------
+def test_exact_dup_pairs(docs, docs_with_dups):
+    n = docs.count()
+    pairs = dedup.exact_dup_pairs(docs_with_dups, "doc_id", "text").collect()
+    assert len(pairs) == n  # each original pairs with its +1M copy only
+    for r in pairs:
+        assert r["dup_id"] == r["keep_id"] + 1_000_000
+
+
+def test_exact_dedup_keeps_one(docs, docs_with_dups):
+    n = docs.count()
+    kept = dedup.exact_dedup(docs_with_dups, "doc_id", "text")
+    assert kept.count() == 2 * n  # originals + mutated, copies dropped
+    assert kept.filter(
+        (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)
+    ).count() == 0
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH
+# ----------------------------------------------------------------------
+def test_minhash_lsh_finds_near_dups(docs, docs_with_dups):
+    n = docs.count()
+    sigs = dedup.minhash_signatures(docs_with_dups, "doc_id", "text")
+    cands = dedup.lsh_candidate_pairs(sigs, "doc_id", bands=32).cache()
+    # exact copies: signature identical → all bands collide
+    exact_pairs = cands.filter(F.col("id_b") - F.col("id_a") == 1_000_000).filter(
+        F.col("id_a") < 1_000_000
+    )
+    assert exact_pairs.count() == n
+    # mutated copies (' zzz' appended): Jaccard ≈ 0.95+ → caught
+    near_pairs = cands.filter(F.col("id_b") - F.col("id_a") == 2_000_000).filter(
+        F.col("id_a") < 1_000_000
+    )
+    assert near_pairs.count() >= int(0.98 * n)
+
+
+def test_minhash_jaccard_estimate_close_to_exact(docs_with_dups, spark):
+    sigs = dedup.minhash_signatures(docs_with_dups, "doc_id", "text")
+    a = sigs.filter(F.col("doc_id") < 1_000_000)
+    b = sigs.filter(
+        (F.col("doc_id") >= 2_000_000)
+    ).select((F.col("doc_id") - 2_000_000).alias("doc_id"), F.col("minhash").alias("mh_b"))
+    joined = a.join(b, "doc_id").select(
+        "doc_id", dedup.minhash_jaccard_estimate("minhash", "mh_b").alias("est")
+    )
+    texts = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()}
+    got = {r["doc_id"]: r["est"] for r in joined.collect()}
+    # spot-check 20 docs against exact shingle jaccard
+    for did in list(got)[:20]:
+        ta = texts[did]
+        ha = dedup._shingle_hashes(ta, 5)
+        hb = dedup._shingle_hashes(ta + " zzz", 5)
+        inter = np.intersect1d(ha, hb).size
+        exact = inter / (ha.size + hb.size - inter)
+        assert abs(got[did] - exact) < 0.15  # 128 hashes → σ≈0.04
+    assert np.mean(list(got.values())) > 0.85
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [("abcdefghij", "abcdefghij"), ("abcdefghij", "zzzzzzzzzz")],
+        ["a", "b"],
+    )
+    res = df.select(dedup.ngram_jaccard("a", "b", k=3).alias("j")).collect()
+    assert res[0]["j"] == 1.0
+    assert res[1]["j"] == 0.0
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+def test_simhash_identical_and_near(docs, docs_with_dups):
+    n = docs.count()
+    sh = docs_with_dups.select("doc_id", dedup.simhash64(F.col("text")).alias("sh"))
+    cands = dedup.simhash_candidate_pairs(sh, "doc_id", "sh", n_chunks=8).cache()
+    # identical text → hamming 0, must be found
+    zero = cands.filter(
+        (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("hamming") == 0)
+    ).filter(F.col("id_a") < 1_000_000)
+    assert zero.count() == n
+    # pigeonhole guarantee: every pair with hamming <= 7 appears
+    found_near = cands.filter(F.col("hamming") <= 7).count()
+    assert found_near >= n
+
+
+def test_hamming64(spark):
+    df = spark.createDataFrame([(0, 255), (-1, 0), (5, 5)], ["a", "b"])
+    res = df.select(dedup.hamming64("a", "b").alias("h")).collect()
+    assert [r["h"] for r in res] == [8, 64, 0]
+
+
+# ----------------------------------------------------------------------
+# similarity search
+# ----------------------------------------------------------------------
+def test_cosine_topk_matches_numpy(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    queries = [(int(ids[i]), X[i].tolist()) for i in range(5)]
+    res = similarity.cosine_topk(emb, "vec_id", "embedding", queries, k=5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qi in range(5):
+        sims = Xn[qi] @ Xn.T
+        expect = ids[np.argsort(-sims)[:5]].tolist()
+        got = [nid for _, nid in sorted(by_q[int(ids[qi])])]
+        assert got == expect
+
+
+def test_cosine_pairs_above(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    iu = np.triu_indices_from(S, 1)
+    expect = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(*iu)
+        if S[i, j] >= 0.4
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs_above(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    assert got == expect
+
+
+def test_rp_lsh_recall(emb):
+    """LSH candidates must cover most truly-similar pairs."""
+    # cos>=0.4 → θ≈66° → per-bit collision 0.63; 4-bit tables give
+    # per-table 0.159 → 1-(1-0.159)^16 ≈ 0.94 expected recall
+    buckets = similarity.rp_lsh_buckets(
+        emb, "vec_id", "embedding", dim=64, n_tables=16, n_bits=4
+    )
+    cands = similarity.rp_lsh_candidate_pairs(buckets, "vec_id")
+    cand_set = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs_above(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    if true_pairs:
+        recall = len(true_pairs & cand_set) / len(true_pairs)
+        assert recall >= 0.8, (recall, len(true_pairs), len(cand_set))
+
+
+# ----------------------------------------------------------------------
+# text analysis
+# ----------------------------------------------------------------------
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("   ",), ("one",), ("x y z w!",)], ["t"]
+    )
+    res = df.select(
+        text.token_count(F.col("t")).alias("n"),
+        text.bpe_ish_token_count(F.col("t")).alias("b"),
+    ).collect()
+    assert [r["n"] for r in res] == [3, 0, 0, 1, 4]
+    assert res[4]["b"] == 5  # x, y, z, w, !
+
+
+def test_quality(docs):
+    passed = docs.select(text.quality_pass(F.col("text")).alias("p"))
+    frac = passed.filter("p").count() / docs.count()
+    assert 0.5 < frac <= 1.0  # synthetic docs are mostly clean prose-ish
+
+
+def test_lang_id_on_synthetic_multilingual(spark):
+    samples = [
+        (1, "the cat sat on the mat and it was happy with all of this", "en"),
+        (2, "der hund und die katze sind in dem haus mit einer maus", "de"),
+        (3, "le chat est dans la maison avec un chien et il ne dort pas", "fr"),
+        (4, "el perro y el gato están en la casa con un ratón muy pequeño", "es"),
+        (5, "o cachorro e o gato estão em uma casa com um rato pequeno", "pt"),
+        (6, "de hond en de kat zijn in het huis met een muis en ze slapen", "nl"),
+        (7, "il cane e il gatto sono in una casa con un topo che dorme", "it"),
+        (8, "这是一个中文句子没有空格也可以检测出来", "zh"),
+    ]
+    df = spark.createDataFrame(samples, ["id", "txt", "expected"])
+    res = text.lang_id(df, "txt", "id").select("id", "expected", "lang_pred").collect()
+    correct = sum(1 for r in res if r["lang_pred"] == r["expected"])
+    assert correct == len(samples), [(r["expected"], r["lang_pred"]) for r in res]
+
+
+def test_fingerprints(docs, docs_with_dups, spark):
+    fp = docs_with_dups.select(
+        "doc_id", text.content_fingerprint(F.col("text")).alias("fp")
+    )
+    a = fp.filter(F.col("doc_id") < 1_000_000).select(
+        "doc_id", F.col("fp").alias("fp_a")
+    )
+    b = fp.filter(
+        (F.col("doc_id") >= 1_000_000) & (F.col("doc_id") < 2_000_000)
+    ).select((F.col("doc_id") - 1_000_000).alias("doc_id"), F.col("fp").alias("fp_b"))
+    j = a.join(b, "doc_id")
+    assert j.filter(F.col("fp_a") != F.col("fp_b")).count() == 0
+    # winnowing: identical docs → identical fingerprint arrays
+    wf = docs.limit(20).select(
+        "doc_id", text.winnow_fingerprints(F.col("text")).alias("w")
+    ).collect()
+    assert all(len(r["w"]) > 0 for r in wf)
+    wf2 = docs.limit(20).select(
+        "doc_id", text.winnow_fingerprints(F.col("text")).alias("w")
+    ).collect()
+    assert {r["doc_id"]: r["w"] for r in wf} == {r["doc_id"]: r["w"] for r in wf2}
+
+
+# ----------------------------------------------------------------------
+# multimodal plumbing
+# ----------------------------------------------------------------------
+def test_multimodal_stub_pipeline(docs):
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    with_meta = multimodal.attach_media(media, "payload")
+    row = with_meta.select("media_meta").first()["media_meta"]
+    assert row["media_type"] == "image/fake" and row["n_bytes"] > 0
+    feats = multimodal.decode_features(media, "payload", "doc_id", dim=32)
+    got = feats.collect()
+    assert len(got) == docs.count()
+    assert all(len(r["features"]) == 32 for r in got)
+    # determinism
+    again = {r["doc_id"]: r["features"] for r in
+             multimodal.decode_features(media, "payload", "doc_id", dim=32).collect()}
+    assert again[got[0]["doc_id"]] == got[0]["features"]
+    frames = multimodal.frame_sample(media, "payload", "doc_id", n_frames=4)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in per_doc)
+
+
+def test_multimodal_real_decoder_gated(docs):
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_features(media, "payload", "doc_id", decoder="real")
