@@ -1,0 +1,174 @@
+"""Checkpointed, resumable sketch builds with per-partition lineage.
+
+The 100 TB failure model: a multi-hour scan must not restart from zero.
+Stage 1 (the expensive scan → partial digests) writes its output as a
+Parquet table whose rows carry lineage — split id, rows consumed,
+centroid count, serialized size — plus a ``_SUCCESS`` marker from
+Spark's committer.  Stage 2 (merge + finalize) reads only that table.
+Re-running the job with the same checkpoint dir skips straight to
+stage 2 (resume); deleting the dir rebuilds.  Because digests merge
+associatively, the final result is independent of how the build was
+split or resumed (SURVEY.md §7, BASELINE north_rule: "resumable from
+checkpoint with per-partition lineage + metrics").
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from tdigest_spark.kernel.tdigest import TDigest, merge_all
+
+LINEAGE_COLS = ["split_id", "n_rows", "n_centroids", "n_bytes"]
+
+
+def _success_marker(path: str) -> str:
+    return os.path.join(path, "_SUCCESS")
+
+
+def is_complete(path: str) -> bool:
+    return os.path.exists(_success_marker(path))
+
+
+def build_partial_digests(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    compression: int,
+    checkpoint_dir: str,
+    overwrite: bool = False,
+) -> DataFrame:
+    """Stage 1: one digest per (input split × group), written to
+    ``checkpoint_dir`` with lineage columns.  Returns the checkpoint
+    table (from disk).  No-op if the checkpoint is already complete."""
+    spark = df.sparkSession
+    if is_complete(checkpoint_dir) and not overwrite:
+        return read_partials(spark, checkpoint_dir)
+
+    keys = list(keys)
+    key_fields = [f for f in df.schema.fields if f.name in keys]
+    schema = StructType(
+        key_fields
+        + [
+            StructField("digest", BinaryType(), True),
+            StructField("split_id", IntegerType(), False),
+            StructField("n_rows", LongType(), False),
+            StructField("n_centroids", IntegerType(), False),
+            StructField("n_bytes", LongType(), False),
+        ]
+    )
+
+    def build(batches):
+        import numpy as np
+
+        from pyspark import TaskContext
+
+        split_id = TaskContext.get().partitionId()
+        acc: dict[tuple, TDigest] = {}
+        rows_seen: dict[tuple, int] = {}
+        for pdf in batches:
+            if keys:
+                groups = (
+                    (k if isinstance(k, tuple) else (k,), sub)
+                    for k, sub in pdf.groupby(keys, sort=False, dropna=False)
+                )
+            else:
+                groups = [((), pdf)]
+            for gkey, sub in groups:
+                d = acc.get(gkey)
+                if d is None:
+                    d = acc[gkey] = TDigest(compression)
+                    rows_seen[gkey] = 0
+                d.add_values(sub[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
+                rows_seen[gkey] += len(sub)
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for gkey, d in acc.items():
+            blob = d.to_bytes() if d.count > 0 else None
+            for kname, kval in zip(keys, gkey):
+                out[kname].append(kval)
+            out["digest"].append(blob)
+            out["split_id"].append(split_id)
+            out["n_rows"].append(rows_seen[gkey])
+            out["n_centroids"].append(len(d.means))
+            out["n_bytes"].append(len(blob) if blob else 0)
+        yield pd.DataFrame(out)
+
+    df.select(*keys, value_col).mapInPandas(build, schema).write.mode(
+        "overwrite"
+    ).parquet(checkpoint_dir)
+    return read_partials(spark, checkpoint_dir)
+
+
+def read_partials(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    return spark.read.parquet(checkpoint_dir)
+
+
+def lineage_summary(partials: DataFrame) -> DataFrame:
+    """Per-split audit: rows consumed, digest sizes — the metrics rows
+    the north rule requires alongside the checkpoint."""
+    return partials.groupBy("split_id").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_rows").alias("rows_consumed"),
+        F.sum("n_centroids").alias("centroids"),
+        F.sum("n_bytes").alias("bytes"),
+    )
+
+
+def finalize_percentile(
+    partials: DataFrame,
+    keys: Sequence[str],
+    quantiles,
+    salt: int | None = None,
+) -> DataFrame:
+    """Stage 2: merge checkpointed digests per group and estimate."""
+    from tdigest_spark.spark.tdigest_agg import tdigest_percentile_digests
+
+    return tdigest_percentile_digests(
+        partials, "digest", quantiles, keys=list(keys), salt=salt
+    )
+
+
+def checkpointed_percentile(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    compression: int,
+    quantiles,
+    checkpoint_dir: str,
+    salt: int | None = None,
+) -> DataFrame:
+    """End-to-end: resumable stage-1 build + stage-2 merge/estimate."""
+    partials = build_partial_digests(df, keys, value_col, compression, checkpoint_dir)
+    return finalize_percentile(partials, keys, quantiles, salt=salt)
+
+
+def verify_lineage(partials: DataFrame, expected_rows: int | None = None) -> dict:
+    """Consistency checks over the checkpoint: Σ n_rows == Σ digest
+    counts == expected input rows (when known)."""
+    rows = partials.agg(
+        F.sum("n_rows").alias("rows"), F.count("*").alias("groups")
+    ).collect()[0]
+    digest_rows = partials.select("digest").toPandas()["digest"]
+    total_count = sum(
+        TDigest.from_bytes(bytes(b)).count for b in digest_rows if b is not None
+    )
+    ok = total_count == rows["rows"] and (
+        expected_rows is None or rows["rows"] == expected_rows
+    )
+    return {
+        "rows_consumed": int(rows["rows"]),
+        "digest_total_count": int(total_count),
+        "n_partial_digests": int(rows["groups"]),
+        "consistent": bool(ok),
+    }
