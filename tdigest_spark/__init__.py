@@ -10,7 +10,24 @@ under ``tdigest_spark.spark``; training-data-pipeline operators (dedup,
 similarity, text analysis, multimodal plumbing) as sibling modules.
 """
 
+from tdigest_spark.kernel.bloom import Bloom  # noqa: F401
+from tdigest_spark.kernel.countmin import CountMin  # noqa: F401
+from tdigest_spark.kernel.hll import HLL  # noqa: F401
+from tdigest_spark.kernel.kll import KLL  # noqa: F401
 from tdigest_spark.kernel.tdigest import TDigest  # noqa: F401
+from tdigest_spark.spark.sketches import (  # noqa: F401
+    bloom_filter,
+    bloom_might_contain,
+    countmin_estimate,
+    countmin_sketch,
+    hll_cardinality,
+    hll_count_distinct,
+    hll_sketch,
+    hll_union_agg,
+    kll_quantile,
+    kll_rank,
+    kll_sketch,
+)
 from tdigest_spark.spark.tdigest_agg import (  # noqa: F401
     tdigest,
     tdigest_avg,

@@ -35,12 +35,15 @@ from tdigest_spark.spark.agg import sketch_groupby
 _HASH_COL = "__h64__"
 
 
-def _with_hash(df: DataFrame, col: str) -> DataFrame:
+def _with_hash(df: DataFrame, col: str, keep: Sequence[str] = ()) -> DataFrame:
     """JVM-side xxhash64, masked to NULL where the input is NULL so the
-    sketch skips missing values (SQL aggregate semantics)."""
-    return df.withColumn(
+    sketch skips missing values (SQL aggregate semantics).  Projects to
+    keep-cols + hash only, so the Arrow boundary never ships the raw
+    value column (or anything wider the caller passed)."""
+    hashed = df.withColumn(
         _HASH_COL, F.when(F.col(col).isNotNull(), F.xxhash64(F.col(col)))
     )
+    return hashed.select(*dict.fromkeys([*keep, _HASH_COL]))
 
 
 def _hashes_of(pdf: pd.DataFrame) -> np.ndarray:
@@ -77,7 +80,7 @@ def hll_sketch(
     result_col: str = "hll", salt: int | None = None,
 ) -> DataFrame:
     """Build a serialized HLL per group (mergeable, re-aggregatable)."""
-    df = _with_hash(df, col)
+    df = _with_hash(df, col, keep=keys)
     return sketch_groupby(
         df, keys, _hll_consume(keys, p),
         lambda s: s.to_bytes(),
@@ -96,7 +99,7 @@ def hll_count_distinct(
     result_col: str = "approx_distinct", salt: int | None = None,
 ) -> DataFrame:
     """Approximate COUNT(DISTINCT col) per group; σ ≈ 1.04/√(2^p)."""
-    df = _with_hash(df, col)
+    df = _with_hash(df, col, keep=keys)
 
     def fin(blobs):
         m = merge_all_hll(HLL.from_bytes(b) for b in blobs) if blobs else None
@@ -141,6 +144,7 @@ def hll_union_agg(
                 else:
                     cur.merge(s)
 
+    df = df.select(*dict.fromkeys([*keys, sketch_col]))
     return sketch_groupby(
         df, keys, consume, lambda s: s.to_bytes(),
         lambda blobs: (merge_all_hll(HLL.from_bytes(b) for b in blobs).to_bytes()
@@ -178,7 +182,7 @@ def countmin_sketch(
     """Build a serialized count-min sketch of value frequencies per
     group.  Point estimates are one-sided: est >= true, est <= true +
     (e/width)·N with prob 1-(1/e)^depth."""
-    df = _with_hash(df, col)
+    df = _with_hash(df, col, keep=[*keys, *([count_col] if count_col else [])])
     return sketch_groupby(
         df, keys, _cm_consume(keys, width, depth, count_col),
         lambda s: s.to_bytes(),
@@ -232,7 +236,7 @@ def bloom_filter(
     result_col: str = "bloom", salt: int | None = None,
 ) -> DataFrame:
     """Build a serialized Bloom filter of the values per group."""
-    df = _with_hash(df, col)
+    df = _with_hash(df, col, keep=keys)
 
     def consume(pdf, acc):
         for key, sub in _group_iter(keys, pdf):
@@ -293,6 +297,7 @@ def kll_sketch(
     df: DataFrame, value_col: str, keys: Sequence[str] = (), k: int = 200,
     result_col: str = "kll", salt: int | None = None,
 ) -> DataFrame:
+    df = df.select(*dict.fromkeys([*keys, value_col]))
     return sketch_groupby(
         df, keys, _kll_consume(keys, value_col, k),
         lambda s: s.to_bytes(),
@@ -317,6 +322,7 @@ def kll_quantile(
         m = merge_all_kll(KLL.from_bytes(b) for b in blobs) if blobs else None
         return (float(m.quantile(q)) if m and m.n else None,)
 
+    df = df.select(*dict.fromkeys([*keys, value_col]))
     return sketch_groupby(
         df, keys, _kll_consume(keys, value_col, k),
         lambda s: s.to_bytes(), fin,

@@ -220,7 +220,15 @@ def _run(
     fin,
     fields,
     salt=None,
+    needed_cols=(),
 ):
+    # prune to keys + inputs before the Arrow boundary: mapInPandas ships
+    # every column of its input through Arrow, so a wide caller DataFrame
+    # must not reach it (and the projection pushes column pruning into
+    # the scan)
+    cols = list(dict.fromkeys([*keys, *needed_cols]))
+    if cols:
+        df = df.select(*cols)
     return sketch_groupby(
         df,
         keys,
@@ -260,7 +268,8 @@ def tdigest_percentile(
         fin = _fin_percentile_array(quantiles)
         fields = [StructField(result_col, ArrayType(DoubleType()), True)]
     consume = _consume_for(df, keys, value_col, count_col, compression)
-    return _run(df, keys, consume, fin, fields, salt)
+    needed = [value_col] + ([count_col] if count_col else [])
+    return _run(df, keys, consume, fin, fields, salt, needed_cols=needed)
 
 
 def tdigest_percentile_of(
@@ -282,7 +291,8 @@ def tdigest_percentile_of(
         fin = _fin_percentile_of_array(values)
         fields = [StructField(result_col, ArrayType(DoubleType()), True)]
     consume = _consume_for(df, keys, value_col, count_col, compression)
-    return _run(df, keys, consume, fin, fields, salt)
+    needed = [value_col] + ([count_col] if count_col else [])
+    return _run(df, keys, consume, fin, fields, salt, needed_cols=needed)
 
 
 def tdigest(
@@ -298,7 +308,8 @@ def tdigest(
     SURVEY §2.1.1 #9-10; the pre-aggregation workhorse."""
     consume = _consume_for(df, keys, value_col, count_col, compression)
     fields = [StructField(result_col, BinaryType(), True)]
-    return _run(df, keys, consume, _fin_digest, fields, salt)
+    needed = [value_col] + ([count_col] if count_col else [])
+    return _run(df, keys, consume, _fin_digest, fields, salt, needed_cols=needed)
 
 
 def tdigest_avg(
@@ -317,7 +328,8 @@ def tdigest_avg(
     check_trim(low, high)
     consume = _consume_for(df, keys, value_col, count_col, compression)
     fields = [StructField(result_col, DoubleType(), True)]
-    return _run(df, keys, consume, _fin_trimmed(low, high, True), fields, salt)
+    needed = [value_col] + ([count_col] if count_col else [])
+    return _run(df, keys, consume, _fin_trimmed(low, high, True), fields, salt, needed_cols=needed)
 
 
 def tdigest_sum(
@@ -336,7 +348,8 @@ def tdigest_sum(
     check_trim(low, high)
     consume = _consume_for(df, keys, value_col, count_col, compression)
     fields = [StructField(result_col, DoubleType(), True)]
-    return _run(df, keys, consume, _fin_trimmed(low, high, False), fields, salt)
+    needed = [value_col] + ([count_col] if count_col else [])
+    return _run(df, keys, consume, _fin_trimmed(low, high, False), fields, salt, needed_cols=needed)
 
 
 # ----------------------------------------------------------------------
@@ -361,7 +374,7 @@ def tdigest_percentile_digests(
         check_percentiles(quantiles)
         fin = _fin_percentile_array(quantiles)
         fields = [StructField(result_col, ArrayType(DoubleType()), True)]
-    return _run(df, keys, consume, fin, fields, salt)
+    return _run(df, keys, consume, fin, fields, salt, needed_cols=[digest_col])
 
 
 def tdigest_percentile_of_digests(
@@ -381,7 +394,7 @@ def tdigest_percentile_of_digests(
     else:
         fin = _fin_percentile_of_array(values)
         fields = [StructField(result_col, ArrayType(DoubleType()), True)]
-    return _run(df, keys, consume, fin, fields, salt)
+    return _run(df, keys, consume, fin, fields, salt, needed_cols=[digest_col])
 
 
 def tdigest_union_agg(
@@ -396,7 +409,7 @@ def tdigest_union_agg(
     primitive (§2.1.2 #19)."""
     consume = _consume_digests(keys, digest_col, compression)
     fields = [StructField(result_col, BinaryType(), True)]
-    return _run(df, keys, consume, _fin_digest, fields, salt)
+    return _run(df, keys, consume, _fin_digest, fields, salt, needed_cols=[digest_col])
 
 
 def tdigest_avg_digests(
@@ -413,7 +426,7 @@ def tdigest_avg_digests(
     check_trim(low, high)
     consume = _consume_digests(keys, digest_col, compression)
     fields = [StructField(result_col, DoubleType(), True)]
-    return _run(df, keys, consume, _fin_trimmed(low, high, True), fields, salt)
+    return _run(df, keys, consume, _fin_trimmed(low, high, True), fields, salt, needed_cols=[digest_col])
 
 
 def tdigest_sum_digests(
@@ -430,7 +443,7 @@ def tdigest_sum_digests(
     check_trim(low, high)
     consume = _consume_digests(keys, digest_col, compression)
     fields = [StructField(result_col, DoubleType(), True)]
-    return _run(df, keys, consume, _fin_trimmed(low, high, False), fields, salt)
+    return _run(df, keys, consume, _fin_trimmed(low, high, False), fields, salt, needed_cols=[digest_col])
 
 
 def tdigest_count_agg(
@@ -449,4 +462,6 @@ def tdigest_count_agg(
     else:
         consume = _consume_for(df, keys, value_col, count_col, compression)
     fields = [StructField(result_col, LongType(), True)]
-    return _run(df, keys, consume, _fin_count, fields)
+    needed = [digest_col] if digest_col is not None else (
+        [value_col] + ([count_col] if count_col else []))
+    return _run(df, keys, consume, _fin_count, fields, needed_cols=needed)

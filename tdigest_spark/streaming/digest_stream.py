@@ -1,0 +1,118 @@
+"""Streaming sketch maintenance (Structured Streaming).
+
+The reference has no streaming surface — its "incremental updates" are
+transactional UPDATEs (README.md:192-248).  The Spark-native equivalent
+is a stateful streaming aggregate: per group key, a serialized t-digest
+lives in operator state; each micro-batch folds its rows in
+(``applyInPandasWithState``) and emits the updated digest + running
+count.  Because digest merge is associative, the stream's final state
+equals the batch build over the same rows (within the usual
+partitioning-order tolerance), which the tests assert.
+
+A ``foreach_batch_union`` helper covers the simpler pattern of
+checkpointing per-batch digests to a table and rolling them up with
+``tdigest_union_agg`` at query time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from tdigest_spark.kernel.tdigest import TDigest
+
+
+def streaming_tdigest(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    compression: int = 100,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Maintain one t-digest per group across micro-batches.
+
+    Emits (keys..., digest binary, count long) whenever a group sees
+    new data.  State is the serialized digest — bounded at
+    16 B × 10·compression per key regardless of stream length.
+    """
+    keys = list(keys)
+    key_fields = [f for f in stream_df.schema.fields if f.name in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField(digest_col, BinaryType(), True),
+            StructField("count", LongType(), False),
+        ]
+    )
+    state_schema = StructType([StructField("digest", BinaryType(), True)])
+
+    def update(key, batches, state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            d = TDigest.from_bytes(bytes(blob))
+        else:
+            d = TDigest(compression)
+        for pdf in batches:
+            d.add_values(pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
+        if d.count > 0:
+            blob = d.to_bytes()
+            state.update((blob,))
+            yield pd.DataFrame(
+                {
+                    **{k: [kv] for k, kv in zip(keys, key)},
+                    digest_col: [blob],
+                    "count": [d.count],
+                }
+            )
+
+    return stream_df.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def foreach_batch_union(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    compression: int,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Simpler micro-batch pattern: each batch appends its per-group
+    digests (plus batch id) to a parquet table; roll up at read time
+    with ``tdigest_union_agg``.  Restart-safe via the streaming
+    checkpoint."""
+    from tdigest_spark.spark.tdigest_agg import tdigest
+
+    keys = list(keys)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dig = tdigest(batch_df, value_col, compression, keys=keys)
+        from pyspark.sql import functions as F
+
+        dig.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

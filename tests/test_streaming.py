@@ -1,0 +1,96 @@
+"""Structured Streaming tests: stateful digest maintenance equals the
+batch build over the same rows."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tdigest_spark.kernel.tdigest import TDigest
+from tdigest_spark.spark.tdigest_agg import tdigest_union_agg
+from tdigest_spark.streaming.digest_stream import (
+    foreach_batch_union,
+    streaming_tdigest,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Three parquet chunk files simulating stream arrivals."""
+    d = tmp_path_factory.mktemp("stream_src")
+    rng = np.random.RandomState(42)
+    import pandas as pd
+
+    all_rows = []
+    for i in range(3):
+        pdf = pd.DataFrame(
+            {
+                "g": rng.choice(["a", "b"], size=5000),
+                "v": rng.rand(5000) * 100,
+            }
+        )
+        all_rows.append(pdf)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(d))
+    return str(d), pd.concat(all_rows)
+
+
+def test_streaming_tdigest_matches_batch(spark, stream_dir, tmp_path_factory):
+    src, all_pdf = stream_dir
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_tdigest(stream, ["g"], "v", compression=100)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("digests")
+        .outputMode("update")
+        .option(
+            "checkpointLocation", str(tmp_path_factory.mktemp("ckpt_stream"))
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per group = final state
+    rows = spark.sql(
+        "SELECT * FROM digests"
+    ).collect()
+    final = {}
+    for r in rows:
+        if r["g"] not in final or r["count"] > final[r["g"]]["count"]:
+            final[r["g"]] = {"count": r["count"], "digest": bytes(r["digest"])}
+    for g, sub in all_pdf.groupby("g"):
+        xs = np.sort(sub["v"].to_numpy())
+        assert final[g]["count"] == len(xs)
+        d = TDigest.from_bytes(final[g]["digest"])
+        est = d.quantile(0.9)
+        rank = np.searchsorted(xs, est, side="right") / len(xs)
+        assert abs(rank - 0.9) < 0.015, (g, est, rank)
+
+
+def test_foreach_batch_union(spark, stream_dir, tmp_path_factory):
+    src, all_pdf = stream_dir
+    schema = spark.read.parquet(src).schema
+    out_dir = str(tmp_path_factory.mktemp("stream_out") / "digests")
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = foreach_batch_union(stream, ["g"], "v", 100, out_dir, ckpt).start()
+    q.awaitTermination(120)
+    stored = spark.read.parquet(out_dir)
+    assert stored.select("batch_id").distinct().count() == 3
+    rolled = tdigest_union_agg(stored, "tdigest", keys=["g"]).collect()
+    for r in rolled:
+        sub = all_pdf[all_pdf["g"] == r["g"]]
+        d = TDigest.from_bytes(bytes(r["tdigest"]))
+        assert d.count == len(sub)
+        xs = np.sort(sub["v"].to_numpy())
+        rank = np.searchsorted(xs, d.quantile(0.5), side="right") / len(xs)
+        assert abs(rank - 0.5) < 0.015
