@@ -1,0 +1,113 @@
+"""Register the scalar sketch functions for use from ``spark.sql``.
+
+The reference exposes everything as SQL (CREATE FUNCTION/AGGREGATE in
+tdigest--1.0.0.sql).  Spark cannot register Python *aggregates* with
+partial-merge semantics, so the aggregates stay DataFrame-level
+(SURVEY.md §4 "no custom Catalyst rules needed"), but every scalar
+digest function gets a SQL name here, enabling e.g.
+
+    SELECT lang, tdigest_count(digest) FROM digests_table
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+)
+
+from tdigest_spark.kernel.bloom import Bloom
+from tdigest_spark.kernel.countmin import CountMin
+from tdigest_spark.kernel.hll import HLL
+from tdigest_spark.kernel.kll import KLL
+from tdigest_spark.kernel.tdigest import TDigest
+
+
+def _map_udf(ret, fn):
+    @pandas_udf(ret)
+    def f(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: None if b is None else fn(b))
+
+    return f
+
+
+def _map2_udf(ret, fn):
+    @pandas_udf(ret)
+    def f(s: pd.Series, t: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if a is None else fn(a, b) for a, b in zip(s, t)], dtype="object"
+        )
+
+    return f
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Idempotent registration of all scalar sketch SQL functions."""
+    reg = spark.udf.register
+
+    reg("tdigest_count", _map_udf(LongType(), lambda b: TDigest.from_bytes(bytes(b)).count))
+    reg(
+        "tdigest_quantile",
+        _map2_udf(
+            DoubleType(), lambda b, q: TDigest.from_bytes(bytes(b)).quantile(float(q))
+        ),
+    )
+    reg(
+        "tdigest_quantile_of",
+        _map2_udf(
+            DoubleType(),
+            lambda b, v: TDigest.from_bytes(bytes(b)).quantile_of(float(v)),
+        ),
+    )
+    reg(
+        "tdigest_json",
+        _map_udf(StringType(), lambda b: TDigest.from_bytes(bytes(b)).to_json()),
+    )
+    reg(
+        "tdigest_to_string",
+        _map_udf(StringType(), lambda b: TDigest.from_bytes(bytes(b)).to_string()),
+    )
+    reg(
+        "tdigest_parse",
+        _map_udf(BinaryType(), lambda t: TDigest.from_string(t).to_bytes()),
+    )
+    reg(
+        "tdigest_double_array",
+        _map_udf(
+            ArrayType(DoubleType()),
+            lambda b: TDigest.from_bytes(bytes(b)).to_double_array().tolist(),
+        ),
+    )
+    reg(
+        "tdigest_digest_sum",
+        _map_udf(DoubleType(), lambda b: TDigest.from_bytes(bytes(b)).trimmed_sum(0.0, 1.0)),
+    )
+    reg(
+        "tdigest_digest_avg",
+        _map_udf(DoubleType(), lambda b: TDigest.from_bytes(bytes(b)).trimmed_avg(0.0, 1.0)),
+    )
+    reg(
+        "tdigest_union",
+        _map2_udf(
+            BinaryType(),
+            lambda a, b: _union_bytes(a, b),
+        ),
+    )
+    reg("hll_cardinality", _map_udf(LongType(), lambda b: HLL.from_bytes(bytes(b)).cardinality()))
+    reg("countmin_total", _map_udf(LongType(), lambda b: CountMin.from_bytes(bytes(b)).total))
+    reg("kll_n", _map_udf(LongType(), lambda b: KLL.from_bytes(bytes(b)).n))
+    reg("bloom_fill_ratio", _map_udf(DoubleType(), lambda b: Bloom.from_bytes(bytes(b)).fill_ratio()))
+
+
+def _union_bytes(a, b):
+    da = TDigest.from_bytes(bytes(a))
+    if b is not None:
+        db = TDigest.from_bytes(bytes(b))
+        da.merge_digest(db)
+    return da.to_bytes()

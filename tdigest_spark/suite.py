@@ -504,6 +504,95 @@ def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-callable scalar functions over a digest table (the
+    reference's SQL surface: tdigest_count / tdigest_digest_avg /
+    text roundtrip), full-window trimmed avg == exact AVG."""
+    from tdigest_spark.spark.sql_registry import register_sql_functions
+
+    register_sql_functions(spark)
+    li = _read(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    dig = tdigest(li, "l_extendedprice", 100, keys=["l_returnflag"])
+    dig.createOrReplaceTempView("suite_digests")
+    exact = li.groupBy("l_returnflag").agg(F.avg("l_extendedprice").alias("exact_avg"))
+    exact.createOrReplaceTempView("suite_exact")
+    return spark.sql(
+        """
+        SELECT d.l_returnflag,
+               tdigest_count(d.tdigest) AS n,
+               abs(tdigest_digest_avg(d.tdigest) - e.exact_avg)
+                   / e.exact_avg < 1e-9 AS avg_ok,
+               tdigest_to_string(tdigest_parse(tdigest_to_string(d.tdigest)))
+                   = tdigest_to_string(d.tdigest) AS roundtrip_ok
+        FROM suite_digests d JOIN suite_exact e USING (l_returnflag)
+        ORDER BY d.l_returnflag
+        """
+    )
+
+
+def q_streaming_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming stateful digest build over the documents
+    table replayed as 3 micro-batches: final per-lang counts must be
+    exact and the p50 estimate in-bound."""
+    import tempfile
+    import uuid
+
+    from tdigest_spark.kernel.tdigest import TDigest
+    from tdigest_spark.streaming.digest_stream import streaming_tdigest
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("v")
+    )
+    src = tempfile.mkdtemp(prefix="suite_stream_src_")
+    for i in range(3):
+        docs.filter(F.pmod("doc_id", F.lit(3)) == i).select("lang", "v").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    name = f"suite_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_tdigest(stream, ["lang"], "v", compression=100)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="suite_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    updates = spark.sql(f"SELECT * FROM {name}")
+    final = {}
+    for r in updates.collect():
+        if r["lang"] not in final or r["count"] > final[r["lang"]]["count"]:
+            final[r["lang"]] = {"count": r["count"], "digest": bytes(r["digest"])}
+    exact = {
+        r["lang"]: sorted(r["vs"])
+        for r in docs.groupBy("lang").agg(F.collect_list("v").alias("vs")).collect()
+    }
+    rows = []
+    for lang, xs in sorted(exact.items()):
+        f = final.get(lang)
+        d = TDigest.from_bytes(f["digest"]) if f else None
+        import numpy as np
+
+        rank = (
+            float(np.searchsorted(xs, d.quantile(0.5), side="right")) / len(xs)
+            if d
+            else None
+        )
+        rows.append(
+            (
+                lang,
+                int(f["count"]) if f else 0,
+                bool(d is not None and abs(rank - 0.5) < 0.03),
+            )
+        )
+    return spark.createDataFrame(rows, ["lang", "n", "ok"])
+
+
 TDIGEST_QUERIES = {
     "tdigest_p95": q_tdigest_p95,
     "tdigest_docs_p95": q_tdigest_docs_p95,
@@ -514,6 +603,8 @@ TDIGEST_QUERIES = {
     "tdigest_reaggregate": q_tdigest_reaggregate,
     "tdigest_serialization": q_tdigest_serialization,
     "tdigest_partition_invariance": q_tdigest_partition_invariance,
+    "sql_surface": q_sql_surface,
+    "streaming_digest": q_streaming_digest,
 }
 
 SKETCH_QUERIES = {
@@ -580,6 +671,14 @@ TDIGEST_ORACLES = {
     "tdigest_partition_invariance": (
         "SELECT l_returnflag, TRUE AS ok_3, TRUE AS ok_13 FROM lineitem "
         "GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "sql_surface": (
+        "SELECT l_returnflag, COUNT(*) AS n, TRUE AS avg_ok, TRUE AS roundtrip_ok "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "streaming_digest": (
+        "SELECT lang, COUNT(*) AS n, TRUE AS ok FROM documents "
+        "GROUP BY lang ORDER BY lang"
     ),
 }
 
