@@ -1,0 +1,179 @@
+"""Arrow-native partial-aggregation engine (mapInArrow).
+
+The first version of the pipeline (agg.py sketch_groupby) handed each
+partial task pandas DataFrames; profiling the 24M-row flagship showed
+the dominant Python-phase cost was materializing the *group-key string
+column* as per-row Python objects.  This engine consumes raw Arrow
+RecordBatches instead:
+
+* key columns are dictionary-encoded in C (pyarrow) — Python sees one
+  object per DISTINCT key, plus an int32 code array
+* group row-ranges come from one stable argsort of the codes
+* numeric value columns convert zero-copy(ish) to NumPy; binary
+  columns (stored sketches) materialize only per-group lists
+
+so the per-row path is entirely C/NumPy, for keys as well as values.
+
+The merge/finalize stage stays applyInPandas (it sees only
+#groups × #partitions sketch rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StructField, StructType
+
+GROUP_SENTINEL = "__sketch_group__"
+SKETCH_COL = "__sketch__"
+
+
+def _key_schema(df: DataFrame, keys: Sequence[str]) -> list[StructField]:
+    by_name = {f.name: f for f in df.schema.fields}
+    return [by_name[k] for k in keys]
+
+
+def _column_views(batch: pa.RecordBatch, inputs: Sequence[str]):
+    """Inputs stay pyarrow Arrays; each fold converts as it needs
+    (to_numpy for floats, drop_null for int64 hashes — exact, never via
+    float64 — to_pylist only for binary sketch columns)."""
+    return {
+        name: batch.column(batch.schema.get_field_index(name)) for name in inputs
+    }
+
+
+def _group_slices(batch: pa.RecordBatch, keys: Sequence[str]):
+    """Yield (key_tuple, row_index_array) per distinct key combo, with
+    only O(#distinct) Python objects created."""
+    n = batch.num_rows
+    if not keys:
+        yield (0,), None  # None = all rows
+        return
+    code_arrays = []
+    dicts = []
+    for k in keys:
+        col = batch.column(batch.schema.get_field_index(k))
+        if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+            col = col.combine_chunks()
+        dcol = col.dictionary_encode()
+        idx = dcol.indices.to_numpy(zero_copy_only=False)
+        # nulls in keys → code -1 → shift to a dedicated slot
+        idx = np.where(np.isnan(idx), -1, idx).astype(np.int64) if idx.dtype.kind == "f" else idx.astype(np.int64)
+        code_arrays.append(idx + 1)  # 0 reserved for null
+        dicts.append(dcol.dictionary.to_pylist())
+    codes = code_arrays[0]
+    radix = [len(d) + 1 for d in dicts]
+    for i in range(1, len(keys)):
+        codes = codes * radix[i] + code_arrays[i]
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = codes[order]
+    boundaries = np.flatnonzero(np.diff(sorted_codes)) + 1
+    starts = np.concatenate(([0], boundaries))
+    ends = np.concatenate((boundaries, [n]))
+    for s, e in zip(starts, ends):
+        code = int(sorted_codes[s])
+        key = []
+        for i in reversed(range(len(keys))):
+            c = code % radix[i]
+            code //= radix[i]
+            key.append(None if c == 0 else dicts[i][c - 1])
+        yield tuple(reversed(key)), order[s:e]
+
+
+def sketch_groupby_arrow(
+    df: DataFrame,
+    keys: Sequence[str],
+    inputs: Sequence[str],
+    new_state: Callable[[], Any],
+    fold: Callable[..., None],
+    serialize: Callable[[Any], bytes | None],
+    finalize: Callable[[list[bytes]], tuple],
+    result_fields: Sequence[StructField],
+    salt: int | None = None,
+    merge_bytes: Callable[[list[bytes]], bytes | None] | None = None,
+) -> DataFrame:
+    """partial(mapInArrow) → [salted merge] → merge+finalize.
+
+    ``fold(state, **{col: pa.Array})`` folds one group-slice of one
+    batch into the state; slices arrive as pyarrow Arrays.
+    """
+    keys = list(keys)
+    inputs = list(inputs)
+    grouped = bool(keys)
+    if not grouped:
+        df = df.withColumn(GROUP_SENTINEL, F.lit(0))
+        keys = [GROUP_SENTINEL]
+    df = df.select(*dict.fromkeys([*keys, *inputs]))
+
+    partial_schema = StructType(
+        _key_schema(df, keys) + [StructField(SKETCH_COL, BinaryType(), True)]
+    )
+
+    def run_partial(batches):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        out_schema = to_arrow_schema(partial_schema)
+        states: dict[tuple, Any] = {}
+        for batch in batches:
+            views = _column_views(batch, inputs)
+            # ungrouped: skip the encode/sort entirely (keys is the
+            # constant sentinel column)
+            for key, rows in _group_slices(batch, keys if grouped else []):
+                st = states.get(key)
+                if st is None:
+                    st = states[key] = new_state()
+                if rows is None:
+                    kwargs = {name: views[name] for name in inputs}
+                else:
+                    take_idx = pa.array(rows)
+                    kwargs = {
+                        name: views[name].take(take_idx) for name in inputs
+                    }
+                fold(st, **kwargs)
+        cols: dict[str, list] = {f.name: [] for f in partial_schema.fields}
+        for key, st in states.items():
+            for kname, kval in zip(keys, key):
+                cols[kname].append(kval)
+            cols[SKETCH_COL].append(serialize(st))
+        yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
+
+    partials = df.mapInArrow(run_partial, partial_schema)
+
+    result_schema = StructType(_key_schema(df, keys) + list(result_fields))
+
+    def merge_finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        sketches = [bytes(s) for s in pdf[SKETCH_COL] if s is not None]
+        tail = finalize(sketches)
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        for field, val in zip(result_fields, tail):
+            out[field.name] = [val]
+        return pd.DataFrame(out)
+
+    if salt and salt > 1:
+        mb = merge_bytes
+        if mb is None:
+            raise ValueError("salt requires merge_bytes")
+
+        def merge_only(pdf: pd.DataFrame) -> pd.DataFrame:
+            sketches = [bytes(s) for s in pdf[SKETCH_COL] if s is not None]
+            out = {k: [pdf[k].iloc[0]] for k in keys}
+            out[SKETCH_COL] = [mb(sketches) if sketches else None]
+            return pd.DataFrame(out)
+
+        salted = partials.withColumn(
+            "__salt__", F.pmod(F.spark_partition_id(), F.lit(salt))
+        )
+        partials = salted.groupBy(*keys, "__salt__").applyInPandas(
+            lambda pdf: merge_only(pdf.drop(columns="__salt__")), partial_schema
+        )
+
+    result = partials.groupBy(*keys).applyInPandas(merge_finalize, result_schema)
+    if not grouped:
+        result = result.drop(GROUP_SENTINEL)
+    return result

@@ -30,7 +30,7 @@ from tdigest_spark.kernel.bloom import Bloom, merge_all_bloom
 from tdigest_spark.kernel.countmin import CountMin, merge_all_cm
 from tdigest_spark.kernel.hll import HLL, merge_all_hll
 from tdigest_spark.kernel.kll import KLL, merge_all_kll
-from tdigest_spark.spark.agg import sketch_groupby
+from tdigest_spark.spark.arrow_agg import sketch_groupby_arrow
 
 _HASH_COL = "__h64__"
 
@@ -46,33 +46,18 @@ def _with_hash(df: DataFrame, col: str, keep: Sequence[str] = ()) -> DataFrame:
     return hashed.select(*dict.fromkeys([*keep, _HASH_COL]))
 
 
-def _hashes_of(pdf: pd.DataFrame) -> np.ndarray:
-    s = pdf[_HASH_COL]
-    mask = s.notna()
-    return s[mask].to_numpy(dtype=np.int64, na_value=0)
-
-
-def _group_iter(keys, pdf):
-    if not keys:
-        return [((0,), pdf)]
-    return (
-        (k if isinstance(k, tuple) else (k,), sub)
-        for k, sub in pdf.groupby(list(keys), sort=False, dropna=False)
-    )
+def _hash_np(col) -> np.ndarray:
+    """pyarrow int64 (nullable) → exact int64 NumPy, nulls dropped.
+    Never routes int64 through float64 (which would corrupt hashes
+    above 2^53)."""
+    return col.drop_null().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
 # ----------------------------------------------------------------------
 # HLL
 # ----------------------------------------------------------------------
-def _hll_consume(keys, p):
-    def consume(pdf, acc):
-        for key, sub in _group_iter(keys, pdf):
-            s = acc.get(key)
-            if s is None:
-                s = acc[key] = HLL(p)
-            s.add_hashes(_hashes_of(sub))
-
-    return consume
+def _fold_hll(st, **cols):
+    st.add_hashes(_hash_np(cols[_HASH_COL]))
 
 
 def hll_sketch(
@@ -81,8 +66,8 @@ def hll_sketch(
 ) -> DataFrame:
     """Build a serialized HLL per group (mergeable, re-aggregatable)."""
     df = _with_hash(df, col, keep=keys)
-    return sketch_groupby(
-        df, keys, _hll_consume(keys, p),
+    return sketch_groupby_arrow(
+        df, keys, [_HASH_COL], lambda: HLL(p), _fold_hll,
         lambda s: s.to_bytes(),
         lambda blobs: (merge_all_hll(HLL.from_bytes(b) for b in blobs).to_bytes()
                        if blobs else None,),
@@ -105,8 +90,8 @@ def hll_count_distinct(
         m = merge_all_hll(HLL.from_bytes(b) for b in blobs) if blobs else None
         return (int(m.cardinality()) if m else 0,)
 
-    return sketch_groupby(
-        df, keys, _hll_consume(keys, p),
+    return sketch_groupby_arrow(
+        df, keys, [_HASH_COL], lambda: HLL(p), _fold_hll,
         lambda s: s.to_bytes(), fin,
         [StructField(result_col, LongType(), True)],
         salt=salt,
@@ -132,21 +117,25 @@ def hll_union_agg(
 ) -> DataFrame:
     """Re-aggregate stored HLL sketches (rollup path)."""
 
-    def consume(pdf, acc):
-        for key, sub in _group_iter(keys, pdf):
-            for blob in sub[sketch_col]:
-                if blob is None:
-                    continue
-                s = HLL.from_bytes(bytes(blob))
-                cur = acc.get(key)
-                if cur is None:
-                    acc[key] = s
-                else:
-                    cur.merge(s)
+    class Acc:
+        __slots__ = ("s",)
 
-    df = df.select(*dict.fromkeys([*keys, sketch_col]))
-    return sketch_groupby(
-        df, keys, consume, lambda s: s.to_bytes(),
+        def __init__(self):
+            self.s = None
+
+    def fold(st, **cols):
+        for blob in cols[sketch_col].to_pylist():
+            if blob is None:
+                continue
+            h = HLL.from_bytes(bytes(blob))
+            if st.s is None:
+                st.s = h
+            else:
+                st.s.merge(h)
+
+    return sketch_groupby_arrow(
+        df, keys, [sketch_col], Acc, fold,
+        lambda st: st.s.to_bytes() if st.s is not None else None,
         lambda blobs: (merge_all_hll(HLL.from_bytes(b) for b in blobs).to_bytes()
                        if blobs else None,),
         [StructField(result_col, BinaryType(), True)],
@@ -156,22 +145,25 @@ def hll_union_agg(
 # ----------------------------------------------------------------------
 # count-min
 # ----------------------------------------------------------------------
-def _cm_consume(keys, width, depth, count_col):
-    def consume(pdf, acc):
-        for key, sub in _group_iter(keys, pdf):
-            s = acc.get(key)
-            if s is None:
-                s = acc[key] = CountMin(width, depth)
-            hs = sub[_HASH_COL]
-            mask = hs.notna()
-            h = hs[mask].to_numpy(dtype=np.int64, na_value=0)
-            if count_col is None:
-                s.add_hashes(h)
-            else:
-                c = sub[count_col][mask].to_numpy(dtype=np.int64, na_value=0)
-                s.add_hashes(h, c)
+def _cm_fold(count_col):
+    import pyarrow.compute as pc
 
-    return consume
+    def fold(st, **cols):
+        h = cols[_HASH_COL]
+        if count_col is None:
+            st.add_hashes(_hash_np(h))
+            return
+        valid = pc.is_valid(h).to_numpy(zero_copy_only=False)
+        hv = h.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        cv = (
+            cols[count_col]
+            .fill_null(0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
+        st.add_hashes(hv[valid], cv[valid])
+
+    return fold
 
 
 def countmin_sketch(
@@ -183,8 +175,9 @@ def countmin_sketch(
     group.  Point estimates are one-sided: est >= true, est <= true +
     (e/width)·N with prob 1-(1/e)^depth."""
     df = _with_hash(df, col, keep=[*keys, *([count_col] if count_col else [])])
-    return sketch_groupby(
-        df, keys, _cm_consume(keys, width, depth, count_col),
+    inputs = [_HASH_COL] + ([count_col] if count_col else [])
+    return sketch_groupby_arrow(
+        df, keys, inputs, lambda: CountMin(width, depth), _cm_fold(count_col),
         lambda s: s.to_bytes(),
         lambda blobs: (merge_all_cm(CountMin.from_bytes(b) for b in blobs).to_bytes()
                        if blobs else None,),
@@ -238,15 +231,12 @@ def bloom_filter(
     """Build a serialized Bloom filter of the values per group."""
     df = _with_hash(df, col, keep=keys)
 
-    def consume(pdf, acc):
-        for key, sub in _group_iter(keys, pdf):
-            s = acc.get(key)
-            if s is None:
-                s = acc[key] = Bloom(m, k)
-            s.add_hashes(_hashes_of(sub))
+    def fold(st, **cols):
+        st.add_hashes(_hash_np(cols[_HASH_COL]))
 
-    return sketch_groupby(
-        df, keys, consume, lambda s: s.to_bytes(),
+    return sketch_groupby_arrow(
+        df, keys, [_HASH_COL], lambda: Bloom(m, k), fold,
+        lambda s: s.to_bytes(),
         lambda blobs: (merge_all_bloom(Bloom.from_bytes(b) for b in blobs).to_bytes()
                        if blobs else None,),
         [StructField(result_col, BinaryType(), True)],
@@ -282,24 +272,20 @@ def bloom_might_contain(sketch: Column, probe: Column) -> Column:
 # ----------------------------------------------------------------------
 # KLL
 # ----------------------------------------------------------------------
-def _kll_consume(keys, value_col, k):
-    def consume(pdf, acc):
-        for key, sub in _group_iter(keys, pdf):
-            s = acc.get(key)
-            if s is None:
-                s = acc[key] = KLL(k)
-            s.add_values(sub[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
+def _kll_fold(value_col):
+    def fold(st, **cols):
+        arr = cols[value_col].to_numpy(zero_copy_only=False)
+        st.add_values(np.asarray(arr, dtype=np.float64))
 
-    return consume
+    return fold
 
 
 def kll_sketch(
     df: DataFrame, value_col: str, keys: Sequence[str] = (), k: int = 200,
     result_col: str = "kll", salt: int | None = None,
 ) -> DataFrame:
-    df = df.select(*dict.fromkeys([*keys, value_col]))
-    return sketch_groupby(
-        df, keys, _kll_consume(keys, value_col, k),
+    return sketch_groupby_arrow(
+        df, keys, [value_col], lambda: KLL(k), _kll_fold(value_col),
         lambda s: s.to_bytes(),
         lambda blobs: (merge_all_kll(KLL.from_bytes(b) for b in blobs).to_bytes()
                        if blobs else None,),
@@ -322,9 +308,8 @@ def kll_quantile(
         m = merge_all_kll(KLL.from_bytes(b) for b in blobs) if blobs else None
         return (float(m.quantile(q)) if m and m.n else None,)
 
-    df = df.select(*dict.fromkeys([*keys, value_col]))
-    return sketch_groupby(
-        df, keys, _kll_consume(keys, value_col, k),
+    return sketch_groupby_arrow(
+        df, keys, [value_col], lambda: KLL(k), _kll_fold(value_col),
         lambda s: s.to_bytes(), fin,
         [StructField(result_col, DoubleType(), True)],
         salt=salt,

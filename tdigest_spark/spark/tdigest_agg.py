@@ -1,8 +1,8 @@
 """t-digest aggregates as DataFrame operations.
 
 Maps the reference's 21 aggregate definitions (SURVEY.md §2.1.1/§2.1.2,
-tdigest--1.0.0.sql + upgrades) onto the two-phase Arrow pipeline in
-``agg.py``.  Every aggregate is a parameterization of ONE
+tdigest--1.0.0.sql + upgrades) onto the Arrow-native two-phase pipeline
+in ``arrow_agg.py``.  Every aggregate is a parameterization of ONE
 build+merge+finalize skeleton, exactly like the reference reuses five
 final functions across its 21 aggregates.
 
@@ -12,8 +12,8 @@ Raw-value aggregates (reference SFUNC tdigest_add_double &c.):
     (value, count) ingestion variants and ``keys`` for GROUP BY.
 
 Digest re-aggregation (SFUNC tdigest_add_digest &c., tdigest.c:1437-1518):
-    the same entry points with ``digest_col`` input via the
-    ``*_digests`` functions.
+    the same entry points over stored digests via the ``*_digests``
+    functions.
 """
 
 from __future__ import annotations
@@ -21,7 +21,6 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
@@ -40,115 +39,97 @@ from tdigest_spark.kernel.tdigest import (
     generate_counts,
     merge_all,
 )
-from tdigest_spark.spark.agg import sketch_groupby
+from tdigest_spark.spark.arrow_agg import sketch_groupby_arrow
 
 # expansion chunk bound for the (value, count) ingestion path
 _EXPAND_CHUNK = 1 << 20
 
 
-def _consume_values(keys: Sequence[str], value_col: str, compression: int):
-    """Batch consumer: fold one Arrow batch into per-group TDigests."""
-    keys = list(keys)
+# ----------------------------------------------------------------------
+# folds: one Arrow group-slice → kernel state
+# ----------------------------------------------------------------------
+def _fold_values(value_col: str):
+    def fold(st: TDigest, **cols) -> None:
+        arr = cols[value_col].to_numpy(zero_copy_only=False)
+        st.add_values(np.asarray(arr, dtype=np.float64))
 
-    def consume(pdf: pd.DataFrame, acc: dict) -> None:
-        if not keys:
-            groups = [((0,), pdf)]
-        else:
-            groups = (
-                (k if isinstance(k, tuple) else (k,), sub)
-                for k, sub in pdf.groupby(keys, sort=False, dropna=False)
-            )
-        for key, sub in groups:
-            d = acc.get(key)
-            if d is None:
-                d = acc[key] = TDigest(compression)
-            vals = sub[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
-            d.add_values(vals)
-
-    return consume
+    return fold
 
 
-def _consume_value_counts(
-    keys: Sequence[str], value_col: str, count_col: str, compression: int
-):
+def _fold_value_counts(value_col: str, count_col: str, compression: int):
     """(value, count) ingestion — tdigest_add_double_count semantics
-    (tdigest.c:1152-1255): huge counts go through the closed-form
-    generate fast path, small counts are expanded to unit weights so
-    centroid sizing near the tails stays correct."""
-    keys = list(keys)
+    (tdigest.c:1152-1255): NULL count means 1 (tdigest.c:1210-1215),
+    huge counts use the closed-form generate fast path, small counts
+    expand to unit weights so tail centroid sizing stays correct."""
     bufsz = buffer_size(compression)
 
-    def consume(pdf: pd.DataFrame, acc: dict) -> None:
-        if not keys:
-            groups = [((0,), pdf)]
-        else:
-            groups = (
-                (k if isinstance(k, tuple) else (k,), sub)
-                for k, sub in pdf.groupby(keys, sort=False, dropna=False)
-            )
-        for key, sub in groups:
-            d = acc.get(key)
-            if d is None:
-                d = acc[key] = TDigest(compression)
-            vals = sub[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
-            cnts = sub[count_col].to_numpy(dtype=np.int64, na_value=1)
-            ok = ~np.isnan(vals)
-            vals, cnts = vals[ok], cnts[ok]
-            if np.any(cnts <= 0):
-                raise ValueError("invalid count value, must be a positive value")
-            huge = cnts > bufsz
-            for v, c in zip(vals[huge], cnts[huge]):
-                gc = generate_counts(compression, int(c))
-                d.add_centroids(np.full(gc.size, v), gc)
-            vals, cnts = vals[~huge], cnts[~huge]
-            # expand in bounded chunks to cap memory
-            start = 0
-            n = vals.size
-            while start < n:
-                end = start
-                total = 0
-                while end < n and total + cnts[end] <= _EXPAND_CHUNK:
-                    total += cnts[end]
-                    end += 1
-                end = max(end, start + 1)
-                d.add_values(np.repeat(vals[start:end], cnts[start:end]))
-                start = end
+    def fold(st: TDigest, **cols) -> None:
+        v = cols[value_col]
+        c = cols[count_col]
+        vals = np.asarray(v.to_numpy(zero_copy_only=False), dtype=np.float64)
+        cnts = np.asarray(
+            c.fill_null(1).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        ok = ~np.isnan(vals)
+        vals, cnts = vals[ok], cnts[ok]
+        if np.any(cnts <= 0):
+            raise ValueError("invalid count value, must be a positive value")
+        huge = cnts > bufsz
+        for val, cnt in zip(vals[huge], cnts[huge]):
+            gc = generate_counts(compression, int(cnt))
+            st.add_centroids(np.full(gc.size, val), gc)
+        vals, cnts = vals[~huge], cnts[~huge]
+        start = 0
+        n = vals.size
+        while start < n:  # expand in bounded chunks to cap memory
+            end = start
+            total = 0
+            while end < n and total + cnts[end] <= _EXPAND_CHUNK:
+                total += cnts[end]
+                end += 1
+            end = max(end, start + 1)
+            st.add_values(np.repeat(vals[start:end], cnts[start:end]))
+            start = end
 
-    return consume
+    return fold
 
 
-def _consume_digests(keys: Sequence[str], digest_col: str, compression: int | None):
-    """Digest re-aggregation — tdigest_add_digest (tdigest.c:1437-1518).
-    Compression of the first digest wins unless overridden."""
-    keys = list(keys)
+class _DigestAcc:
+    """Re-aggregation state: compression of the first digest wins
+    unless overridden (tdigest.c:1491)."""
 
-    def consume(pdf: pd.DataFrame, acc: dict) -> None:
-        if not keys:
-            groups = [((0,), pdf)]
-        else:
-            groups = (
-                (k if isinstance(k, tuple) else (k,), sub)
-                for k, sub in pdf.groupby(keys, sort=False, dropna=False)
-            )
-        for key, sub in groups:
-            for blob in sub[digest_col]:
-                if blob is None:
-                    continue
-                incoming = TDigest.from_bytes(bytes(blob))
-                d = acc.get(key)
-                if d is None:
-                    d = acc[key] = TDigest(compression or incoming.compression)
-                d.merge_digest(incoming)
+    __slots__ = ("d", "compression")
 
-    return consume
+    def __init__(self, compression: int | None):
+        self.d: TDigest | None = None
+        self.compression = compression
 
 
-def _serialize_partial(d: TDigest) -> bytes | None:
-    return d.to_bytes() if d.count > 0 else None
+def _fold_digests(digest_col: str):
+    def fold(st: _DigestAcc, **cols) -> None:
+        for blob in cols[digest_col].to_pylist():
+            if blob is None:
+                continue
+            incoming = TDigest.from_bytes(bytes(blob))
+            if st.d is None:
+                st.d = TDigest(st.compression or incoming.compression)
+            st.d.merge_digest(incoming)
+
+    return fold
+
+
+def _serialize_td(st) -> bytes | None:
+    d = st.d if isinstance(st, _DigestAcc) else st
+    return d.to_bytes() if d is not None and d.count > 0 else None
 
 
 def _merged(sketches: list[bytes]) -> TDigest | None:
     return merge_all(TDigest.from_bytes(s) for s in sketches)
+
+
+def _merge_bytes_td(sketches: list[bytes]) -> bytes | None:
+    m = _merged(sketches)
+    return m.to_bytes() if m is not None else None
 
 
 # ----------------------------------------------------------------------
@@ -211,42 +192,58 @@ def _fin_trimmed(low: float, high: float, want_avg: bool):
 
 
 # ----------------------------------------------------------------------
-# public aggregates over raw values
+# dispatch helpers
 # ----------------------------------------------------------------------
-def _run(
-    df,
-    keys,
-    consume,
-    fin,
-    fields,
-    salt=None,
-    needed_cols=(),
-):
-    # prune to keys + inputs before the Arrow boundary: mapInPandas ships
-    # every column of its input through Arrow, so a wide caller DataFrame
-    # must not reach it (and the projection pushes column pruning into
-    # the scan)
-    cols = list(dict.fromkeys([*keys, *needed_cols]))
-    if cols:
-        df = df.select(*cols)
-    return sketch_groupby(
-        df,
-        keys,
-        consume,
-        _serialize_partial,
-        fin,
-        fields,
-        salt=salt,
+def _run_values(df, keys, value_col, count_col, compression, fin, fields, salt):
+    check_compression(compression)  # fail at plan time, not in the executor
+    if count_col is None:
+        fold = _fold_values(value_col)
+        inputs = [value_col]
+    else:
+        fold = _fold_value_counts(value_col, count_col, compression)
+        inputs = [value_col, count_col]
+    return sketch_groupby_arrow(
+        df, keys, inputs,
+        lambda: TDigest(compression),
+        fold, _serialize_td, fin, fields,
+        salt=salt, merge_bytes=_merge_bytes_td,
     )
 
 
-def _consume_for(df, keys, value_col, count_col, compression):
-    check_compression(compression)  # fail at plan time, not in the executor
-    if count_col is None:
-        return _consume_values(keys, value_col, compression)
-    return _consume_value_counts(keys, value_col, count_col, compression)
+def _run_digests(df, keys, digest_col, compression, fin, fields, salt):
+    return sketch_groupby_arrow(
+        df, keys, [digest_col],
+        lambda: _DigestAcc(compression),
+        _fold_digests(digest_col), _serialize_td, fin, fields,
+        salt=salt, merge_bytes=_merge_bytes_td,
+    )
 
 
+def _percentile_fin_fields(quantiles, result_col):
+    if np.isscalar(quantiles):
+        check_percentiles([quantiles])
+        return _fin_percentile(float(quantiles)), [
+            StructField(result_col, DoubleType(), True)
+        ]
+    check_percentiles(quantiles)
+    return _fin_percentile_array(quantiles), [
+        StructField(result_col, ArrayType(DoubleType()), True)
+    ]
+
+
+def _percentile_of_fin_fields(values, result_col):
+    if np.isscalar(values):
+        return _fin_percentile_of(float(values)), [
+            StructField(result_col, DoubleType(), True)
+        ]
+    return _fin_percentile_of_array(values), [
+        StructField(result_col, ArrayType(DoubleType()), True)
+    ]
+
+
+# ----------------------------------------------------------------------
+# public aggregates over raw values (§2.1.1)
+# ----------------------------------------------------------------------
 def tdigest_percentile(
     df: DataFrame,
     value_col: str,
@@ -259,17 +256,8 @@ def tdigest_percentile(
 ) -> DataFrame:
     """tdigest_percentile(value [, count], accuracy, quantile[s]) —
     SURVEY §2.1.1 #1-4."""
-    if np.isscalar(quantiles):
-        check_percentiles([quantiles])
-        fin = _fin_percentile(float(quantiles))
-        fields = [StructField(result_col, DoubleType(), True)]
-    else:
-        check_percentiles(quantiles)
-        fin = _fin_percentile_array(quantiles)
-        fields = [StructField(result_col, ArrayType(DoubleType()), True)]
-    consume = _consume_for(df, keys, value_col, count_col, compression)
-    needed = [value_col] + ([count_col] if count_col else [])
-    return _run(df, keys, consume, fin, fields, salt, needed_cols=needed)
+    fin, fields = _percentile_fin_fields(quantiles, result_col)
+    return _run_values(df, keys, value_col, count_col, compression, fin, fields, salt)
 
 
 def tdigest_percentile_of(
@@ -284,15 +272,8 @@ def tdigest_percentile_of(
 ) -> DataFrame:
     """tdigest_percentile_of(value [, count], accuracy, hypothetical[s])
     — SURVEY §2.1.1 #5-8 (relative rank / inverse CDF)."""
-    if np.isscalar(values):
-        fin = _fin_percentile_of(float(values))
-        fields = [StructField(result_col, DoubleType(), True)]
-    else:
-        fin = _fin_percentile_of_array(values)
-        fields = [StructField(result_col, ArrayType(DoubleType()), True)]
-    consume = _consume_for(df, keys, value_col, count_col, compression)
-    needed = [value_col] + ([count_col] if count_col else [])
-    return _run(df, keys, consume, fin, fields, salt, needed_cols=needed)
+    fin, fields = _percentile_of_fin_fields(values, result_col)
+    return _run_values(df, keys, value_col, count_col, compression, fin, fields, salt)
 
 
 def tdigest(
@@ -306,10 +287,10 @@ def tdigest(
 ) -> DataFrame:
     """tdigest(value [, count], accuracy) → serialized digest column —
     SURVEY §2.1.1 #9-10; the pre-aggregation workhorse."""
-    consume = _consume_for(df, keys, value_col, count_col, compression)
     fields = [StructField(result_col, BinaryType(), True)]
-    needed = [value_col] + ([count_col] if count_col else [])
-    return _run(df, keys, consume, _fin_digest, fields, salt, needed_cols=needed)
+    return _run_values(
+        df, keys, value_col, count_col, compression, _fin_digest, fields, salt
+    )
 
 
 def tdigest_avg(
@@ -326,10 +307,11 @@ def tdigest_avg(
     """tdigest_avg(value [, count], accuracy, low, high) — trimmed mean,
     SURVEY §2.1.1 #11-12."""
     check_trim(low, high)
-    consume = _consume_for(df, keys, value_col, count_col, compression)
     fields = [StructField(result_col, DoubleType(), True)]
-    needed = [value_col] + ([count_col] if count_col else [])
-    return _run(df, keys, consume, _fin_trimmed(low, high, True), fields, salt, needed_cols=needed)
+    return _run_values(
+        df, keys, value_col, count_col, compression,
+        _fin_trimmed(low, high, True), fields, salt,
+    )
 
 
 def tdigest_sum(
@@ -346,10 +328,11 @@ def tdigest_sum(
     """tdigest_sum(value [, count], accuracy, low, high) — trimmed sum,
     SURVEY §2.1.1 #13-14."""
     check_trim(low, high)
-    consume = _consume_for(df, keys, value_col, count_col, compression)
     fields = [StructField(result_col, DoubleType(), True)]
-    needed = [value_col] + ([count_col] if count_col else [])
-    return _run(df, keys, consume, _fin_trimmed(low, high, False), fields, salt, needed_cols=needed)
+    return _run_values(
+        df, keys, value_col, count_col, compression,
+        _fin_trimmed(low, high, False), fields, salt,
+    )
 
 
 # ----------------------------------------------------------------------
@@ -365,16 +348,8 @@ def tdigest_percentile_digests(
     salt: int | None = None,
 ) -> DataFrame:
     """tdigest_percentile(tdigest, quantile[s]) — SURVEY §2.1.2 #15-16."""
-    consume = _consume_digests(keys, digest_col, compression)
-    if np.isscalar(quantiles):
-        check_percentiles([quantiles])
-        fin = _fin_percentile(float(quantiles))
-        fields = [StructField(result_col, DoubleType(), True)]
-    else:
-        check_percentiles(quantiles)
-        fin = _fin_percentile_array(quantiles)
-        fields = [StructField(result_col, ArrayType(DoubleType()), True)]
-    return _run(df, keys, consume, fin, fields, salt, needed_cols=[digest_col])
+    fin, fields = _percentile_fin_fields(quantiles, result_col)
+    return _run_digests(df, keys, digest_col, compression, fin, fields, salt)
 
 
 def tdigest_percentile_of_digests(
@@ -387,14 +362,8 @@ def tdigest_percentile_of_digests(
     salt: int | None = None,
 ) -> DataFrame:
     """tdigest_percentile_of(tdigest, hypothetical[s]) — §2.1.2 #17-18."""
-    consume = _consume_digests(keys, digest_col, compression)
-    if np.isscalar(values):
-        fin = _fin_percentile_of(float(values))
-        fields = [StructField(result_col, DoubleType(), True)]
-    else:
-        fin = _fin_percentile_of_array(values)
-        fields = [StructField(result_col, ArrayType(DoubleType()), True)]
-    return _run(df, keys, consume, fin, fields, salt, needed_cols=[digest_col])
+    fin, fields = _percentile_of_fin_fields(values, result_col)
+    return _run_digests(df, keys, digest_col, compression, fin, fields, salt)
 
 
 def tdigest_union_agg(
@@ -407,9 +376,8 @@ def tdigest_union_agg(
 ) -> DataFrame:
     """tdigest(tdigest) — digest-union aggregate, the tree-merge
     primitive (§2.1.2 #19)."""
-    consume = _consume_digests(keys, digest_col, compression)
     fields = [StructField(result_col, BinaryType(), True)]
-    return _run(df, keys, consume, _fin_digest, fields, salt, needed_cols=[digest_col])
+    return _run_digests(df, keys, digest_col, compression, _fin_digest, fields, salt)
 
 
 def tdigest_avg_digests(
@@ -424,9 +392,10 @@ def tdigest_avg_digests(
 ) -> DataFrame:
     """tdigest_avg(tdigest, low, high) — §2.1.2 #20."""
     check_trim(low, high)
-    consume = _consume_digests(keys, digest_col, compression)
     fields = [StructField(result_col, DoubleType(), True)]
-    return _run(df, keys, consume, _fin_trimmed(low, high, True), fields, salt, needed_cols=[digest_col])
+    return _run_digests(
+        df, keys, digest_col, compression, _fin_trimmed(low, high, True), fields, salt
+    )
 
 
 def tdigest_sum_digests(
@@ -441,9 +410,10 @@ def tdigest_sum_digests(
 ) -> DataFrame:
     """tdigest_sum(tdigest, low, high) — §2.1.2 #21."""
     check_trim(low, high)
-    consume = _consume_digests(keys, digest_col, compression)
     fields = [StructField(result_col, DoubleType(), True)]
-    return _run(df, keys, consume, _fin_trimmed(low, high, False), fields, salt, needed_cols=[digest_col])
+    return _run_digests(
+        df, keys, digest_col, compression, _fin_trimmed(low, high, False), fields, salt
+    )
 
 
 def tdigest_count_agg(
@@ -457,11 +427,9 @@ def tdigest_count_agg(
 ) -> DataFrame:
     """Total item count of the (merged) digest — scalar
     tdigest_count (tdigest.c:2941-2947) lifted to an aggregate."""
-    if digest_col is not None:
-        consume = _consume_digests(keys, digest_col, None)
-    else:
-        consume = _consume_for(df, keys, value_col, count_col, compression)
     fields = [StructField(result_col, LongType(), True)]
-    needed = [digest_col] if digest_col is not None else (
-        [value_col] + ([count_col] if count_col else []))
-    return _run(df, keys, consume, _fin_count, fields, needed_cols=needed)
+    if digest_col is not None:
+        return _run_digests(df, keys, digest_col, None, _fin_count, fields, None)
+    return _run_values(
+        df, keys, value_col, count_col, compression, _fin_count, fields, None
+    )
