@@ -593,6 +593,57 @@ def q_streaming_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, ["lang", "n", "ok"])
 
 
+def q_windowed_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows (host operator §2.2): daily t-digest
+    median of event values, exact counts + rank bound per window."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "value"
+    )
+    est = tdigest_percentile(ev, "value", 100, 0.5, keys=["day"])
+    checked = (
+        ev.join(F.broadcast(est), "day")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.abs(
+                    F.avg((F.col("value") <= F.col("percentile")).cast("double")) - 0.5
+                )
+                < 0.02
+            ).alias("ok"),
+        )
+    )
+    return checked.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n", "ok"
+    ).orderBy("day")
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS parity: digests built once at the finest grain
+    re-aggregate to every coarser grain (digest mergeability == rollup
+    composability); counts must match GROUP BY ROLLUP exactly."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    fine = tdigest(li, "l_extendedprice", 100, keys=["l_returnflag", "l_linestatus"])
+    lvl2 = fine.select(
+        "l_returnflag", "l_linestatus", TF.tdigest_count("tdigest").alias("n")
+    )
+    lvl1 = tdigest_union_agg(fine, "tdigest", keys=["l_returnflag"]).select(
+        "l_returnflag",
+        F.lit(None).cast("string").alias("l_linestatus"),
+        TF.tdigest_count("tdigest").alias("n"),
+    )
+    lvl0 = tdigest_union_agg(fine, "tdigest").select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        TF.tdigest_count("tdigest").alias("n"),
+    )
+    return lvl2.unionByName(lvl1).unionByName(lvl0).orderBy(
+        "l_returnflag", "l_linestatus"
+    )
+
+
 TDIGEST_QUERIES = {
     "tdigest_p95": q_tdigest_p95,
     "tdigest_docs_p95": q_tdigest_docs_p95,
@@ -605,6 +656,8 @@ TDIGEST_QUERIES = {
     "tdigest_partition_invariance": q_tdigest_partition_invariance,
     "sql_surface": q_sql_surface,
     "streaming_digest": q_streaming_digest,
+    "windowed_percentile": q_windowed_percentile,
+    "rollup_counts": q_rollup_counts,
 }
 
 SKETCH_QUERIES = {
@@ -679,6 +732,15 @@ TDIGEST_ORACLES = {
     "streaming_digest": (
         "SELECT lang, COUNT(*) AS n, TRUE AS ok FROM documents "
         "GROUP BY lang ORDER BY lang"
+    ),
+    "windowed_percentile": (
+        "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,"
+        " COUNT(*) AS n, TRUE AS ok FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "rollup_counts": (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem "
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus) "
+        "ORDER BY l_returnflag, l_linestatus"
     ),
 }
 
