@@ -1,8 +1,13 @@
 """spark-submit entrypoint: the flagship web-scale sketch job.
 
 Usage (local sandbox):
-    spark-submit --py-files tdigest_spark.zip scripts/submit_job.py \
-        --generate 2000000 --workdir /tmp/tdigest_job --salt 8
+    spark-submit --driver-memory 8g --py-files tdigest_spark.zip \
+        scripts/submit_job.py --generate 2000000 \
+        --workdir /tmp/tdigest_job --salt 8
+
+(--driver-memory matters: under spark-submit the JVM is already up
+before Python runs, so the in-code spark.driver.memory default cannot
+apply; local-mode executors share the driver heap.)
 
 On a cluster the same invocation works with --master yarn/k8s; the
 package zip ships via --py-files (no cluster-side install).  Build the

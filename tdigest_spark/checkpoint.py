@@ -71,27 +71,28 @@ def build_partial_digests(
 
     def build(batches):
         import numpy as np
+        import pyarrow as pa
 
         from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
 
+        from tdigest_spark.spark.arrow_agg import _group_slices
+
+        out_schema = to_arrow_schema(schema)
         split_id = TaskContext.get().partitionId()
         acc: dict[tuple, TDigest] = {}
         rows_seen: dict[tuple, int] = {}
-        for pdf in batches:
-            if keys:
-                groups = (
-                    (k if isinstance(k, tuple) else (k,), sub)
-                    for k, sub in pdf.groupby(keys, sort=False, dropna=False)
-                )
-            else:
-                groups = [((), pdf)]
-            for gkey, sub in groups:
+        for batch in batches:
+            vcol = batch.column(batch.schema.get_field_index(value_col))
+            for gkey, rows in _group_slices(batch, keys):
                 d = acc.get(gkey)
                 if d is None:
                     d = acc[gkey] = TDigest(compression)
                     rows_seen[gkey] = 0
-                d.add_values(sub[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
-                rows_seen[gkey] += len(sub)
+                sliced = vcol.take(pa.array(rows)) if rows is not None else vcol
+                arr = sliced.to_numpy(zero_copy_only=False)
+                d.add_values(np.asarray(arr, dtype=np.float64))
+                rows_seen[gkey] += len(sliced)
         out: dict[str, list] = {f.name: [] for f in schema.fields}
         for gkey, d in acc.items():
             blob = d.to_bytes() if d.count > 0 else None
@@ -102,9 +103,9 @@ def build_partial_digests(
             out["n_rows"].append(rows_seen[gkey])
             out["n_centroids"].append(len(d.means))
             out["n_bytes"].append(len(blob) if blob else 0)
-        yield pd.DataFrame(out)
+        yield pa.RecordBatch.from_pydict(out, schema=out_schema)
 
-    df.select(*keys, value_col).mapInPandas(build, schema).write.mode(
+    df.select(*keys, value_col).mapInArrow(build, schema).write.mode(
         "overwrite"
     ).parquet(checkpoint_dir)
     return read_partials(spark, checkpoint_dir)

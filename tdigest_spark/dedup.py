@@ -126,10 +126,17 @@ def lsh_candidate_pairs(
     id_col: str,
     sig_col: str = "minhash",
     bands: int = 32,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Banded LSH: split signatures into ``bands``, hash each band,
     group by (band_idx, band_hash), emit candidate pairs (id_a < id_b).
-    Shuffle carries (band key, id); bucket sizes bound pair blowup."""
+    Shuffle carries (band key, id); bucket sizes bound pair blowup.
+
+    ``max_bucket`` drops degenerate buckets (e.g. a boilerplate band
+    value shared by millions of pages would otherwise emit O(n²) pairs
+    from one reducer).  Pairs inside a dropped bucket are still found
+    through their other ``bands-1`` bands unless they collide on nothing
+    else — the standard web-dedup guardrail.  Set None to disable."""
     n_hashes = len(sig_df.select(sig_col).first()[0])
     rows_per_band = n_hashes // bands
     banded = sig_df.select(
@@ -148,6 +155,8 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     pairs = buckets.select(
         F.explode(
             F.expr(
@@ -240,7 +249,8 @@ def simhash64(text: Column) -> Column:
 
 
 def simhash_candidate_pairs(
-    df: DataFrame, id_col: str, simhash_col: str, n_chunks: int = 8
+    df: DataFrame, id_col: str, simhash_col: str, n_chunks: int = 8,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Candidates for Hamming distance ≤ n_chunks-1 via chunk banding:
     any pair within that distance shares at least one identical chunk
@@ -263,6 +273,8 @@ def simhash_candidate_pairs(
         .agg(F.sort_array(F.collect_list(F.struct(id_col, simhash_col))).alias("xs"))
         .filter(F.size("xs") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("xs") <= max_bucket)
     pairs = buckets.select(
         F.explode(
             F.expr(

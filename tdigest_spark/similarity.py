@@ -190,9 +190,11 @@ def rp_lsh_buckets(
 
 
 def rp_lsh_candidate_pairs(
-    bucket_df: DataFrame, id_col: str, bucket_col: str = "buckets"
+    bucket_df: DataFrame, id_col: str, bucket_col: str = "buckets",
+    max_bucket: int | None = 50_000,
 ) -> DataFrame:
-    """Candidate pairs = vectors sharing any (table, bucket) key."""
+    """Candidate pairs = vectors sharing any (table, bucket) key.
+    ``max_bucket`` drops degenerate buckets (see lsh_candidate_pairs)."""
     exploded = bucket_df.select(
         F.col(id_col), F.explode(F.col(bucket_col)).alias("bucket")
     )
@@ -201,6 +203,8 @@ def rp_lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
     pairs = grouped.select(
         F.explode(
             F.expr(
