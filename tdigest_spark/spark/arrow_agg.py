@@ -147,33 +147,74 @@ def sketch_groupby_arrow(
 
     result_schema = StructType(_key_schema(df, keys) + list(result_fields))
 
-    def merge_finalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        sketches = [bytes(s) for s in pdf[SKETCH_COL] if s is not None]
-        tail = finalize(sketches)
-        out = {k: [pdf[k].iloc[0]] for k in keys}
-        for field, val in zip(result_fields, tail):
-            out[field.name] = [val]
-        return pd.DataFrame(out)
-
     if salt and salt > 1:
+        # intermediate merge round keyed by (keys, partition_id % salt):
+        # caps reducer fan-in for hot groups before the final merge
         mb = merge_bytes
         if mb is None:
             raise ValueError("salt requires merge_bytes")
-
-        def merge_only(pdf: pd.DataFrame) -> pd.DataFrame:
-            sketches = [bytes(s) for s in pdf[SKETCH_COL] if s is not None]
-            out = {k: [pdf[k].iloc[0]] for k in keys}
-            out[SKETCH_COL] = [mb(sketches) if sketches else None]
-            return pd.DataFrame(out)
-
         salted = partials.withColumn(
             "__salt__", F.pmod(F.spark_partition_id(), F.lit(salt))
         )
-        partials = salted.groupBy(*keys, "__salt__").applyInPandas(
-            lambda pdf: merge_only(pdf.drop(columns="__salt__")), partial_schema
+        partials = _merge_pass(
+            salted,
+            [*keys, "__salt__"],
+            partial_schema,
+            lambda blobs: (mb(blobs) if blobs else None,),
+            emit_keys=keys,
         )
 
-    result = partials.groupBy(*keys).applyInPandas(merge_finalize, result_schema)
+    result = _merge_pass(
+        partials, keys, result_schema, finalize, emit_keys=keys,
+        result_fields=result_fields,
+    )
     if not grouped:
         result = result.drop(GROUP_SENTINEL)
     return result
+
+
+def _merge_pass(
+    partials: DataFrame,
+    group_keys: Sequence[str],
+    out_schema: StructType,
+    process: Callable[[list[bytes]], tuple],
+    emit_keys: Sequence[str],
+    result_fields: Sequence[StructField] | None = None,
+) -> DataFrame:
+    """Shuffle partial sketches by key, then merge/finalize groups with
+    the same mapInArrow machinery as the partial phase — one output row
+    per group, no per-group pandas overhead (matters at 10^6 groups).
+    ``group_keys`` may include extra columns (salt) that are grouped on
+    but not emitted; ``emit_keys`` must be a prefix of ``group_keys``."""
+    group_keys = list(group_keys)
+    emit_keys = list(emit_keys)
+    tail_fields = (
+        list(result_fields)
+        if result_fields is not None
+        else [f for f in out_schema.fields if f.name not in emit_keys]
+    )
+
+    def run_merge(batches):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        schema_pa = to_arrow_schema(out_schema)
+        acc: dict[tuple, list[bytes]] = {}
+        for batch in batches:
+            scol = batch.column(batch.schema.get_field_index(SKETCH_COL))
+            for key, rows in _group_slices(batch, group_keys):
+                blobs = acc.setdefault(key, [])
+                sliced = scol.take(pa.array(rows)) if rows is not None else scol
+                blobs.extend(
+                    bytes(b) for b in sliced.to_pylist() if b is not None
+                )
+        cols: dict[str, list] = {f.name: [] for f in out_schema.fields}
+        for key, blobs in acc.items():
+            tail = process(blobs)
+            for kname, kval in zip(group_keys, key):
+                if kname in cols:
+                    cols[kname].append(kval)
+            for field, val in zip(tail_fields, tail):
+                cols[field.name].append(val)
+        yield pa.RecordBatch.from_pydict(cols, schema=schema_pa)
+
+    return partials.repartition(*group_keys).mapInArrow(run_merge, out_schema)

@@ -333,7 +333,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tdigest_spark.dedup import exact_dup_pairs
 
     both = _docs_with_copies(spark, sf_dir)
-    return exact_dup_pairs(both, "doc_id", "text").orderBy("keep_id")
+    return exact_dup_pairs(both, "doc_id", "text").orderBy("keep_id", "dup_id")
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,7 +369,9 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     both = _docs_with_copies(spark, sf_dir)
     sh = both.select("doc_id", simhash64(F.col("text")).alias("sh"))
-    cands = simhash_candidate_pairs(sh, "doc_id", "sh", n_chunks=8)
+    # 16-bit chunks: chance chunk-collisions scale as n/65536 instead of
+    # n/256, keeping the candidate join small at larger sf tiers
+    cands = simhash_candidate_pairs(sh, "doc_id", "sh", n_chunks=4)
     return cands.agg(
         F.sum(
             ((F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("hamming") == 0))
@@ -772,8 +774,15 @@ _QUALITY_SQL = (
 
 PIPELINE_ORACLES = {
     "dedup_exact": (
-        "SELECT doc_id AS keep_id, doc_id + 1000000 AS dup_id FROM documents "
-        "ORDER BY keep_id"
+        "WITH b AS ("
+        " SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t"
+        " FROM documents"
+        " UNION ALL"
+        " SELECT doc_id + 1000000, lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+        " FROM documents),"
+        " g AS (SELECT t, MIN(doc_id) AS keep_id FROM b GROUP BY t)"
+        " SELECT g.keep_id, b.doc_id AS dup_id FROM b JOIN g USING (t)"
+        " WHERE b.doc_id <> g.keep_id ORDER BY keep_id, dup_id"
     ),
     "minhash_lsh": (
         "SELECT COUNT(*) AS exact_caught, COUNT(*) AS near_caught FROM documents"
