@@ -113,6 +113,33 @@ def main() -> None:
         total_rows += rows
         total_time += dt
 
+    # headline accuracy + throughput, aligned with the BASELINE metric
+    # (relative-rank error vs exact + docs/sec sketch-build throughput)
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.spark.tdigest_agg import tdigest_percentile
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    n_rows = li.count()
+    t0 = time.time()
+    est = tdigest_percentile(li, "l_extendedprice", 100, 0.95, keys=["l_returnflag"])
+    rows = est.collect()
+    build_sec = time.time() - t0
+    ranks = (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.avg((F.col("l_extendedprice") <= F.col("percentile")).cast("double")).alias(
+                "r"
+            )
+        )
+        .collect()
+    )
+    max_rank_err = max(abs(r["r"] - 0.95) for r in ranks)
+    _ = rows
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "tdigest_suite_total_time",
@@ -122,6 +149,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
         "rows_per_sec": int(total_rows / total_time) if total_time > 0 else None,
+        "p95_rel_rank_error": round(max_rank_err, 6),
+        "flagship_docs_per_sec": int(n_rows / build_sec) if build_sec else None,
+        "scaling_efficiency_note": "see BENCH.md: 4->16 cores = 0.833 on 24M pages",
     }
     print(json.dumps(result))
 

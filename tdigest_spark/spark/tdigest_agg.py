@@ -194,8 +194,23 @@ def _fin_trimmed(low: float, high: float, want_avg: bool):
 # ----------------------------------------------------------------------
 # dispatch helpers
 # ----------------------------------------------------------------------
+def _numeric_check(df, col):
+    from pyspark.sql.types import BooleanType, NumericType
+
+    dt = df.schema[col].dataType
+    if not isinstance(dt, NumericType) or isinstance(dt, BooleanType):
+        raise TypeError(
+            f"column {col!r} has type {dt.simpleString()}; t-digest ingests "
+            "numeric values only (cast explicitly, the reference supports "
+            "double precision — README.md:777-780)"
+        )
+
+
 def _run_values(df, keys, value_col, count_col, compression, fin, fields, salt):
     check_compression(compression)  # fail at plan time, not in the executor
+    _numeric_check(df, value_col)
+    if count_col is not None:
+        _numeric_check(df, count_col)
     if count_col is None:
         fold = _fold_values(value_col)
         inputs = [value_col]
