@@ -272,6 +272,17 @@ def bloom_might_contain(sketch: Column, probe: Column) -> Column:
 # ----------------------------------------------------------------------
 # KLL
 # ----------------------------------------------------------------------
+def _numeric_check(df, col):
+    from pyspark.sql.types import BooleanType, NumericType
+
+    dt = df.schema[col].dataType
+    if not isinstance(dt, NumericType) or isinstance(dt, BooleanType):
+        raise TypeError(
+            f"column {col!r} has type {dt.simpleString()}; KLL ingests "
+            "numeric values only (cast explicitly)"
+        )
+
+
 def _kll_fold(value_col):
     def fold(st, **cols):
         arr = cols[value_col].to_numpy(zero_copy_only=False)
@@ -284,6 +295,7 @@ def kll_sketch(
     df: DataFrame, value_col: str, keys: Sequence[str] = (), k: int = 200,
     result_col: str = "kll", salt: int | None = None,
 ) -> DataFrame:
+    _numeric_check(df, value_col)
     return sketch_groupby_arrow(
         df, keys, [value_col], lambda: KLL(k), _kll_fold(value_col),
         lambda s: s.to_bytes(),
@@ -303,6 +315,8 @@ def kll_quantile(
 ) -> DataFrame:
     """Approximate quantile with uniform rank error ~O(1/k) — the
     cross-check estimator next to tdigest_percentile."""
+
+    _numeric_check(df, value_col)
 
     def fin(blobs):
         m = merge_all_kll(KLL.from_bytes(b) for b in blobs) if blobs else None
