@@ -153,6 +153,23 @@ def tdigest_digest_avg(digest: Column, low: float = 0.0, high: float = 1.0) -> C
     return f(digest)
 
 
+def tdigest_histogram(digest: Column, k: int) -> Column:
+    """Equi-depth histogram boundaries derived from a digest: k+1
+    monotone values at quantiles i/k (bucket i holds ~1/k of the
+    mass).  The digest-native replacement for a full-data sort when
+    binning features at scale."""
+    kk = int(k)
+    qs = [i / kk for i in range(kk + 1)]
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def f(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: None if b is None else _load(b).quantiles(qs).tolist()
+        )
+
+    return f(digest)
+
+
 def tdigest_to_string(digest: Column) -> Column:
     @pandas_udf(StringType())
     def f(s: pd.Series) -> pd.Series:

@@ -646,6 +646,45 @@ def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpaceSaving top-3 event types: exact (m >= #distinct), matches
+    the SQL window-rank oracle including counts and tie-breaks."""
+    from tdigest_spark.spark.topk_agg import topk
+
+    ev = _read(spark, sf_dir, "events").select("event_type")
+    return topk(ev, "event_type", 3, m=1024).select(
+        "rank", "item", "count_est"
+    ).orderBy("rank")
+
+
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k reservoir: per event type, the sample has
+    exactly min(k, n) rows, all of which are real members, and is
+    identical under a different partitioning (merge-exactness)."""
+    from tdigest_spark.spark.topk_agg import reservoir_sample_hashes
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "event_id")
+    res = reservoir_sample_hashes(ev, "event_id", 100, keys=["event_type"], seed=13)
+    res2 = reservoir_sample_hashes(
+        ev.repartition(13), "event_id", 100, keys=["event_type"], seed=13
+    ).select("event_type", F.col("sample_hashes").alias("sample2"))
+    members = ev.select(
+        "event_type", F.xxhash64("event_id").alias("h")
+    ).distinct().groupBy("event_type").agg(F.collect_set("h").alias("member_set"))
+    joined = res.join(res2, "event_type").join(members, "event_type")
+    return joined.select(
+        "event_type",
+        F.col("n_seen").alias("n"),
+        F.size("sample_hashes").alias("sample_size"),
+        (
+            F.size(F.array_except("sample_hashes", "member_set")) == 0
+        ).alias("all_members"),
+        (
+            F.sort_array("sample_hashes") == F.sort_array("sample2")
+        ).alias("partition_invariant"),
+    ).orderBy("event_type")
+
+
 TDIGEST_QUERIES = {
     "tdigest_p95": q_tdigest_p95,
     "tdigest_docs_p95": q_tdigest_docs_p95,
@@ -660,6 +699,8 @@ TDIGEST_QUERIES = {
     "streaming_digest": q_streaming_digest,
     "windowed_percentile": q_windowed_percentile,
     "rollup_counts": q_rollup_counts,
+    "topk_heavy_hitters": q_topk_heavy_hitters,
+    "reservoir_sample": q_reservoir_sample,
 }
 
 SKETCH_QUERIES = {
@@ -743,6 +784,18 @@ TDIGEST_ORACLES = {
         "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem "
         "GROUP BY ROLLUP(l_returnflag, l_linestatus) "
         "ORDER BY l_returnflag, l_linestatus"
+    ),
+    "topk_heavy_hitters": (
+        "WITH c AS (SELECT event_type AS item, COUNT(*) AS count_est"
+        " FROM events GROUP BY event_type)"
+        " SELECT CAST(ROW_NUMBER() OVER (ORDER BY count_est DESC, item) AS INT)"
+        " AS rank, item, count_est FROM c ORDER BY rank LIMIT 3"
+    ),
+    "reservoir_sample": (
+        "SELECT event_type, COUNT(*) AS n,"
+        " CAST(LEAST(100, COUNT(*)) AS INT) AS sample_size,"
+        " TRUE AS all_members, TRUE AS partition_invariant"
+        " FROM events GROUP BY event_type ORDER BY event_type"
     ),
 }
 
