@@ -28,6 +28,11 @@ from tdigest_spark.spark.sketches import (  # noqa: F401
     kll_rank,
     kll_sketch,
 )
+from tdigest_spark.spark.topk_agg import (  # noqa: F401
+    reservoir_sample_hashes,
+    topk,
+    topk_sketch,
+)
 from tdigest_spark.spark.tdigest_agg import (  # noqa: F401
     tdigest,
     tdigest_avg,

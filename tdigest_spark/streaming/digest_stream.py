@@ -85,6 +85,78 @@ def streaming_tdigest(
     )
 
 
+def streaming_windowed_tdigest(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_duration: str = "1 hour",
+    keys: Sequence[str] = (),
+    compression: int = 100,
+    watermark_delay: str = "2 hours",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Tumbling event-time windowed digests with late-data handling.
+
+    Each (keys..., window_start) holds one digest in operator state;
+    the watermark bounds how late a row may arrive, and state for
+    windows older than the watermark is evicted via event-time timeout
+    — so state size is O(active windows × groups), not stream length.
+    Emits (keys..., window_start, digest, count) updates per batch.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    keys = list(keys)
+    win = stream_df.withWatermark(ts_col, watermark_delay).withColumn(
+        "window_start", F.window(F.col(ts_col), window_duration)["start"]
+    )
+    key_fields = [f for f in stream_df.schema.fields if f.name in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("window_start", TimestampType(), False),
+            StructField(digest_col, BinaryType(), True),
+            StructField("count", LongType(), False),
+        ]
+    )
+    state_schema = StructType([StructField("digest", BinaryType(), True)])
+    group_cols = [*keys, "window_start"]
+
+    def update(key, batches, state: GroupState):
+        if state.hasTimedOut:
+            # window fell behind the watermark: final state already
+            # emitted on its last update; just drop it
+            state.remove()
+            return
+        if state.exists:
+            (blob,) = state.get
+            d = TDigest.from_bytes(bytes(blob))
+        else:
+            d = TDigest(compression)
+        for pdf in batches:
+            d.add_values(pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
+        if d.count > 0:
+            blob = d.to_bytes()
+            state.update((blob,))
+            # evict once the watermark passes the window end (+ slack)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60_000)
+            yield pd.DataFrame(
+                {
+                    **{k: [kv] for k, kv in zip(group_cols, key)},
+                    digest_col: [blob],
+                    "count": [d.count],
+                }
+            )
+
+    return win.groupBy(*group_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def foreach_batch_union(
     stream_df: DataFrame,
     keys: Sequence[str],

@@ -94,3 +94,63 @@ def test_foreach_batch_union(spark, stream_dir, tmp_path_factory):
         xs = np.sort(sub["v"].to_numpy())
         rank = np.searchsorted(xs, d.quantile(0.5), side="right") / len(xs)
         assert abs(rank - 0.5) < 0.015
+
+
+def test_streaming_windowed_tdigest(spark, tmp_path_factory):
+    """Event-time tumbling windows with watermark: final per-window
+    digests match the batch grouping."""
+    import pandas as pd
+
+    from tdigest_spark.streaming.digest_stream import streaming_windowed_tdigest
+
+    d = tmp_path_factory.mktemp("win_src")
+    rng = np.random.RandomState(7)
+    base = pd.Timestamp("2024-01-01")
+    chunks = []
+    for i in range(3):
+        pdf = pd.DataFrame(
+            {
+                "ts": base + pd.to_timedelta(rng.randint(0, 6 * 3600, 4000), unit="s"),
+                "v": rng.rand(4000) * 10,
+            }
+        )
+        chunks.append(pdf)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(d))
+    all_pdf = pd.concat(chunks)
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = streaming_windowed_tdigest(
+        stream, "ts", "v", window_duration="1 hour", watermark_delay="10 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_digests")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("win_ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM win_digests").collect()
+    final = {}
+    for r in rows:
+        k = r["window_start"]
+        if k not in final or r["count"] > final[k]["count"]:
+            final[k] = {"count": r["count"], "digest": bytes(r["digest"])}
+    all_pdf["win"] = all_pdf["ts"].dt.floor("h")
+    grouped = all_pdf.groupby("win")
+    assert len(final) == grouped.ngroups == 6
+    for win, sub in grouped:
+        key = win.to_pydatetime()
+        match = [v for k, v in final.items() if k == key]
+        assert match, (key, list(final))
+        st = match[0]
+        assert st["count"] == len(sub)
+        dd = TDigest.from_bytes(st["digest"])
+        xs = np.sort(sub["v"].to_numpy())
+        rank = np.searchsorted(xs, dd.quantile(0.5), side="right") / len(xs)
+        assert abs(rank - 0.5) < 0.02
