@@ -292,6 +292,61 @@ def simhash_candidate_pairs(
     ).distinct()
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over duplicate pairs → (doc_id, cluster_id)
+    with cluster_id = min id of the component (transitive dedup groups:
+    A≈B, B≈C ⇒ {A,B,C} share one representative).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label in its neighborhood; converges in O(component
+    diameter) rounds (near-dup clusters are shallow, so a handful).
+    Each round is one groupBy shuffle on node id — no driver-side graph.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    # labels: (node, label); localCheckpoint breaks lineage so the
+    # round's joins against `edges` are never ambiguous self-joins
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"], "inner")
+            .select(F.col("src").alias("nm_node"), F.col("label").alias("nm_label"))
+            .groupBy("nm_node")
+            .agg(F.min("nm_label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["nm_node"], "left")
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("label") != F.col("old_label")).limit(1).count()
+        labels = updated.drop("old_label")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def hamming64(a, b) -> Column:
     """Hamming distance between two 64-bit fingerprints (JVM bit_count)."""
     ca = F.col(a) if isinstance(a, str) else a

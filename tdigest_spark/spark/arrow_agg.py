@@ -144,6 +144,14 @@ def sketch_groupby_arrow(
         yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
 
     partials = df.mapInArrow(run_partial, partial_schema)
+    if not grouped:
+        # SQL semantics: an ungrouped aggregate over zero rows still
+        # yields one row (NULL result).  One literal seed row with a
+        # NULL sketch guarantees the sentinel group reaches the merge
+        # pass even when the scan prunes to nothing; merge ignores NULL
+        # sketches otherwise.
+        seed = df.sparkSession.createDataFrame([(0, None)], partial_schema)
+        partials = partials.unionByName(seed)
 
     result_schema = StructType(_key_schema(df, keys) + list(result_fields))
 

@@ -206,20 +206,44 @@ def _numeric_check(df, col):
         )
 
 
-def _run_values(df, keys, value_col, count_col, compression, fin, fields, salt):
+def _run_values(
+    df, keys, value_col, count_col, compression, fin, fields, salt,
+    partial_compression=None,
+):
     check_compression(compression)  # fail at plan time, not in the executor
     _numeric_check(df, value_col)
     if count_col is not None:
         _numeric_check(df, count_col)
+    build_c = compression
+    if partial_compression is not None:
+        # accuracy boost: build/merge partials at higher resolution,
+        # downsample to the requested compression only at finalize —
+        # merged-digest error approaches the single-pass error at the
+        # cost of partial_compression/compression× shuffle bytes
+        check_compression(partial_compression)
+        if partial_compression < compression:
+            raise ValueError("partial_compression must be >= compression")
+        build_c = partial_compression
+
+        inner = fin
+
+        def fin(blobs):  # noqa: F811 — deliberate wrap
+            m = _merged(blobs)
+            if m is None:
+                return inner([])
+            final = TDigest(compression)
+            final.merge_digest(m)
+            return inner([final.to_bytes()])
+
     if count_col is None:
         fold = _fold_values(value_col)
         inputs = [value_col]
     else:
-        fold = _fold_value_counts(value_col, count_col, compression)
+        fold = _fold_value_counts(value_col, count_col, build_c)
         inputs = [value_col, count_col]
     return sketch_groupby_arrow(
         df, keys, inputs,
-        lambda: TDigest(compression),
+        lambda: TDigest(build_c),
         fold, _serialize_td, fin, fields,
         salt=salt, merge_bytes=_merge_bytes_td,
     )
@@ -268,11 +292,13 @@ def tdigest_percentile(
     count_col: str | None = None,
     result_col: str = "percentile",
     salt: int | None = None,
+    partial_compression: int | None = None,
 ) -> DataFrame:
     """tdigest_percentile(value [, count], accuracy, quantile[s]) —
     SURVEY §2.1.1 #1-4."""
     fin, fields = _percentile_fin_fields(quantiles, result_col)
-    return _run_values(df, keys, value_col, count_col, compression, fin, fields, salt)
+    return _run_values(df, keys, value_col, count_col, compression, fin, fields,
+                       salt, partial_compression)
 
 
 def tdigest_percentile_of(
@@ -284,11 +310,13 @@ def tdigest_percentile_of(
     count_col: str | None = None,
     result_col: str = "percentile_of",
     salt: int | None = None,
+    partial_compression: int | None = None,
 ) -> DataFrame:
     """tdigest_percentile_of(value [, count], accuracy, hypothetical[s])
     — SURVEY §2.1.1 #5-8 (relative rank / inverse CDF)."""
     fin, fields = _percentile_of_fin_fields(values, result_col)
-    return _run_values(df, keys, value_col, count_col, compression, fin, fields, salt)
+    return _run_values(df, keys, value_col, count_col, compression, fin, fields,
+                       salt, partial_compression)
 
 
 def tdigest(

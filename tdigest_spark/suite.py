@@ -685,6 +685,45 @@ def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline: MinHash-LSH candidates → signature-Jaccard
+    verification → connected components.  Every original must share a
+    cluster with its planted exact copy (natural near-dups in the
+    corpus may legitimately join the same cluster)."""
+    from tdigest_spark.dedup import (
+        dup_clusters,
+        lsh_candidate_pairs,
+        minhash_jaccard_estimate,
+        minhash_signatures,
+    )
+
+    both = _docs_with_copies(spark, sf_dir)
+    sigs = minhash_signatures(both, "doc_id", "text")
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=32)
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("minhash").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("minhash").alias("sig_b"))
+    verified = (
+        cands.join(a, "id_a").join(b, "id_b")
+        .filter(minhash_jaccard_estimate("sig_a", "sig_b") >= 0.8)
+        .select("id_a", "id_b")
+    )
+    clusters = dup_clusters(verified)
+    # invariant robust to the corpus's own natural near-dups (the
+    # documents table genuinely contains ~25 pairs with Jaccard >= 0.7):
+    # every original must land in the same cluster as its exact copy
+    orig = clusters.filter(F.col("doc_id") < 1_000_000).select(
+        "doc_id", F.col("cluster_id").alias("c_orig")
+    )
+    copy = clusters.filter(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("doc_id"),
+        F.col("cluster_id").alias("c_copy"),
+    )
+    return orig.join(copy, "doc_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.every(F.col("c_orig") == F.col("c_copy")).alias("copies_clustered"),
+    )
+
+
 TDIGEST_QUERIES = {
     "tdigest_p95": q_tdigest_p95,
     "tdigest_docs_p95": q_tdigest_docs_p95,
@@ -701,6 +740,7 @@ TDIGEST_QUERIES = {
     "rollup_counts": q_rollup_counts,
     "topk_heavy_hitters": q_topk_heavy_hitters,
     "reservoir_sample": q_reservoir_sample,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 SKETCH_QUERIES = {
@@ -790,6 +830,9 @@ TDIGEST_ORACLES = {
         " FROM events GROUP BY event_type)"
         " SELECT CAST(ROW_NUMBER() OVER (ORDER BY count_est DESC, item) AS INT)"
         " AS rank, item, count_est FROM c ORDER BY rank LIMIT 3"
+    ),
+    "dedup_clusters": (
+        "SELECT COUNT(*) AS n_pairs, TRUE AS copies_clustered FROM documents"
     ),
     "reservoir_sample": (
         "SELECT event_type, COUNT(*) AS n,"

@@ -245,3 +245,45 @@ def test_kernel_merge_count_conservation(values, k):
         xs = np.sort(x)
         est = m.quantile(0.5)
         assert abs(rank_of(xs, est) - 0.5) <= 0.5 / np.sqrt(len(values)) + 0.15
+
+
+def test_partial_compression_boost(spark):
+    """partial_compression reduces merged-digest error toward the
+    single-pass error while keeping the final compression."""
+    import pandas as pd
+
+    rng = np.random.RandomState(21)
+    x = rng.rand(200_000)
+    df = spark.createDataFrame(pd.DataFrame({"v": x})).repartition(16)
+    plain = tdigest_percentile(df, "v", 100, [i / 20 for i in range(1, 20)])
+    boosted = tdigest_percentile(
+        df, "v", 100, [i / 20 for i in range(1, 20)], partial_compression=500
+    )
+    xs = np.sort(x)
+
+    def rms(res):
+        est = res.collect()[0]["percentile"]
+        qs = [i / 20 for i in range(1, 20)]
+        ranks = [np.searchsorted(xs, e, side="right") / len(xs) for e in est]
+        return float(np.sqrt(np.mean([(r - q) ** 2 for r, q in zip(ranks, qs)])))
+
+    e_plain, e_boost = rms(plain), rms(boosted)
+    assert e_boost < e_plain * 0.75, (e_plain, e_boost)
+
+
+def test_empty_input_semantics(spark):
+    """SQL parity: ungrouped aggregate over zero rows yields one NULL
+    row; grouped yields zero rows."""
+    import pandas as pd
+
+    empty = spark.createDataFrame(pd.DataFrame({"g": ["x"], "v": [1.0]})).filter(
+        "v > 99"
+    )
+    ungrouped = tdigest_percentile(empty, "v", 100, 0.5).collect()
+    assert len(ungrouped) == 1 and ungrouped[0]["percentile"] is None
+    grouped = tdigest_percentile(empty, "v", 100, 0.5, keys=["g"]).collect()
+    assert grouped == []
+    from tdigest_spark.spark.sketches import hll_count_distinct
+
+    hll_empty = hll_count_distinct(empty, "v").collect()
+    assert len(hll_empty) == 1 and hll_empty[0]["approx_distinct"] == 0

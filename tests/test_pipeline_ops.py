@@ -273,3 +273,50 @@ def test_multimodal_real_decoder_gated(docs):
     media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     with pytest.raises(NotImplementedError):
         multimodal.decode_features(media, "payload", "doc_id", decoder="real")
+
+
+def test_dup_clusters(spark):
+    """Connected components: chains collapse to min-id clusters."""
+    import pandas as pd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id_a": [1, 2, 3, 10, 20, 21],
+                "id_b": [2, 3, 4, 11, 21, 22],
+            }
+        )
+    )
+    res = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(pairs).collect()
+    }
+    assert res == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_dup_clusters_from_lsh(docs, docs_with_dups):
+    """End-to-end dedup pipeline: LSH candidates → verify by estimated
+    Jaccard (these synthetic docs share one vocabulary, so unverified
+    candidates form a dense graph) → connected components; each original
+    clusters with both of its planted variants."""
+    from pyspark.sql import functions as PF
+
+    n = docs.count()
+    sigs = dedup.minhash_signatures(docs_with_dups, "doc_id", "text").cache()
+    cands = dedup.lsh_candidate_pairs(sigs, "doc_id", bands=32)
+    a = sigs.select(PF.col("doc_id").alias("id_a"), PF.col("minhash").alias("sig_a"))
+    b = sigs.select(PF.col("doc_id").alias("id_b"), PF.col("minhash").alias("sig_b"))
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(dedup.minhash_jaccard_estimate("sig_a", "sig_b") >= 0.8)
+        .select("id_a", "id_b")
+    )
+    clusters = dedup.dup_clusters(verified)
+    sizes = clusters.groupBy("cluster_id").count()
+    triples = sizes.filter(PF.col("count") >= 3).count()
+    assert triples >= int(0.95 * n)
