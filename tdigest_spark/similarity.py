@@ -189,6 +189,91 @@ def rp_lsh_buckets(
     return df.select(id_col, vec_col).mapInPandas(bucketize, schema)
 
 
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_lists: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train an IVF coarse quantizer: deterministic Lloyd k-means on a
+    driver-side sample of normalized vectors (k-means++-style farthest
+    seeding from a seeded start).  Returns (n_lists, dim) float64."""
+    sample = df.select(vec_col).limit(sample_rows).collect()
+    X = _normalize(np.array([r[vec_col] for r in sample], dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    # seeded farthest-point init (deterministic)
+    cents = [X[rng.randint(len(X))]]
+    for _ in range(n_lists - 1):
+        d = 1.0 - np.max(np.stack([X @ c for c in cents]), axis=0)
+        cents.append(X[int(np.argmax(d))])
+    C = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_lists):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    result_col: str = "list_id",
+) -> DataFrame:
+    """Assign every vector to its nearest IVF list (narrow map)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(result_col, IntegerType()),
+        ]
+    )
+
+    def assign(batches):
+        C = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = _normalize(_to_matrix(pdf[vec_col]))
+            lists = np.argmax(mat @ C.T, axis=1).astype(np.int32)
+            yield pd.DataFrame({id_col: ids, result_col: lists})
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: list[tuple[int, list[float]]],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-probed top-k: each query searches only its ``n_probe``
+    nearest inverted lists.  At cluster scale the corpus is stored
+    partitioned/bucketed by list_id so the scan prunes to the probed
+    lists; here the filter is applied before the brute-force pass."""
+    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    probe_lists = sorted({int(v) for row in probes for v in row})
+
+    assigned = ivf_assign(df, id_col, vec_col, centroids)
+    restricted = (
+        df.join(assigned, id_col)
+        .filter(F.col("list_id").isin(probe_lists))
+        .select(id_col, vec_col)
+    )
+    return cosine_topk(restricted, id_col, vec_col, queries, k=k)
+
+
 def rp_lsh_candidate_pairs(
     bucket_df: DataFrame, id_col: str, bucket_col: str = "buckets",
     max_bucket: int | None = 50_000,

@@ -320,3 +320,37 @@ def test_dup_clusters_from_lsh(docs, docs_with_dups):
     sizes = clusters.groupBy("cluster_id").count()
     triples = sizes.filter(PF.col("count") >= 3).count()
     assert triples >= int(0.95 * n)
+
+
+def test_ivf_topk_recall(emb):
+    """IVF-probed search finds most true neighbors while scanning only
+    n_probe/n_lists of the corpus."""
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    queries = [(int(ids[i]), X[i].tolist()) for i in range(8)]
+
+    C = similarity.ivf_centroids(emb, "embedding", n_lists=8, seed=5)
+    assert C.shape == (8, X.shape[1])
+    res = similarity.ivf_topk(emb, "vec_id", "embedding", queries, C, k=5, n_probe=3)
+    by_q = {}
+    for r in res.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = 0
+    total = 0
+    for qi in range(8):
+        sims = Xn[qi] @ Xn.T
+        true_top = set(ids[np.argsort(-sims)[:5]].tolist())
+        got = by_q.get(int(ids[qi]), set())
+        hits += len(true_top & got)
+        total += 5
+    assert hits / total >= 0.5, hits / total  # random 64-d data, 3/8 lists probed
+
+
+def test_ivf_assign_partitions_corpus(emb):
+    C = similarity.ivf_centroids(emb, "embedding", n_lists=8, seed=5)
+    assigned = similarity.ivf_assign(emb, "vec_id", "embedding", C)
+    counts = assigned.groupBy("list_id").count().collect()
+    assert sum(r["count"] for r in counts) == emb.count()
+    assert len(counts) >= 6  # no degenerate single-list collapse
