@@ -17,7 +17,6 @@ from __future__ import annotations
 import os
 from collections.abc import Sequence
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -28,7 +27,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from tdigest_spark.kernel.tdigest import TDigest, merge_all
+from tdigest_spark.kernel.tdigest import TDigest
 
 LINEAGE_COLS = ["split_id", "n_rows", "n_centroids", "n_bytes"]
 

@@ -14,8 +14,9 @@ RecordBatches instead:
 
 so the per-row path is entirely C/NumPy, for keys as well as values.
 
-The merge/finalize stage stays applyInPandas (it sees only
-#groups × #partitions sketch rows).
+The merge/finalize stage repartitions by key and reuses the same
+RecordBatch machinery (one output row per group, no per-group pandas
+overhead).
 """
 
 from __future__ import annotations
@@ -24,7 +25,6 @@ from collections.abc import Callable, Sequence
 from typing import Any
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

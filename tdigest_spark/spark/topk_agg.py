@@ -18,11 +18,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    IntegerType,
     LongType,
     StringType,
     StructField,
-    StructType,
 )
 
 from tdigest_spark.kernel.reservoir import Reservoir, merge_all_reservoir

@@ -25,7 +25,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BinaryType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
