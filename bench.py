@@ -151,7 +151,7 @@ def main() -> None:
         "rows_per_sec": int(total_rows / total_time) if total_time > 0 else None,
         "p95_rel_rank_error": round(max_rank_err, 6),
         "flagship_docs_per_sec": int(n_rows / build_sec) if build_sec else None,
-        "scaling_efficiency_note": "see BENCH.md: 4->16 cores = 0.833 on 24M pages",
+        "scaling_efficiency_note": "see BENCH.md: 4->16 cores = 0.879 on 24M pages",
     }
     print(json.dumps(result))
 
