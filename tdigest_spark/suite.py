@@ -598,6 +598,9 @@ def q_streaming_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_windowed_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows (host operator §2.2): daily t-digest
     median of event values, exact counts + rank bound per window."""
+    # day boundaries must match the DuckDB oracle's (UTC) regardless of
+    # the driver session's timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _read(spark, sf_dir, "events").select(
         F.date_trunc("day", F.col("ts")).alias("day"), "value"
     )
