@@ -241,6 +241,22 @@ class TDigest:
             means, counts, self.count, self.compression, reverse
         )
 
+    def recompact(self) -> None:
+        """Force one compaction over ALL centroids, stored and pending —
+        the ``tdigest_union(NULL, d)`` / ``compact=true`` idiom.  The
+        reference rebuilds the digest through a fresh aggstate buffer
+        (tdigest_digest_to_aggstate, tdigest.c:2384-2408) so previously
+        compacted centroids participate in the merge again; plain
+        :meth:`compact` would skip when nothing is pending
+        (tdigest.c:450-452 ncompacted == ncentroids)."""
+        if self.means.size:
+            self._pending_means.insert(0, self.means)
+            self._pending_counts.insert(0, self.counts)
+            self._pending_n += self.means.size
+            self.means = np.empty(0, dtype=np.float64)
+            self.counts = np.empty(0, dtype=np.int64)
+        self.compact()
+
     def flush_sorted(self) -> None:
         """Fold pending values into the centroid arrays WITHOUT merging
         (the ``compact=false`` incremental mode, README.md:237-244):
@@ -527,7 +543,13 @@ def _merge_sorted(
             elif ones:
                 out_means.append(float(seg_m.sum() / w))
             else:
-                out_means.append(float(np.dot(seg_m, counts[i:j]) / w))
+                seg_c = counts[i:j]
+                if w == j - i:  # all weight-1: same accumulation as the
+                    # ones path, so incremental count-1 centroids compact
+                    # bit-identically to the batch build (incremental.sql)
+                    out_means.append(float(seg_m.sum() / w))
+                else:
+                    out_means.append(float(np.dot(seg_m, seg_c) / w))
         out_counts.append(w)
         s += w
         i = j

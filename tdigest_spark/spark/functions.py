@@ -109,6 +109,10 @@ def tdigest_union(d1: Column, d2: Column, compact: bool = True) -> Column:
                 a, b = b, None
             if b is not None:
                 a.add_centroids(*b.centroid_arrays(), compact_threshold=1 << 62)
+            if compact:
+                # the reference re-compacts the whole merged state, and
+                # union(NULL, d) is its documented force-compaction idiom
+                a.recompact()
             out.append(a.to_bytes(compact=compact))
         return pd.Series(out)
 

@@ -38,10 +38,30 @@ def _map_udf(ret, fn):
 
 
 def _map2_udf(ret, fn):
+    """Strict two-arg mapper: NULL on *either* side yields NULL.
+
+    Matches PostgreSQL's default STRICT function semantics, which is what
+    the reference's scalar functions use for e.g. tdigest_percentile(d, q)
+    (a NULL quantile yields NULL, it does not raise)."""
+
     @pandas_udf(ret)
     def f(s: pd.Series, t: pd.Series) -> pd.Series:
         return pd.Series(
-            [None if a is None else fn(a, b) for a, b in zip(s, t)], dtype="object"
+            [None if (a is None or b is None) else fn(a, b) for a, b in zip(s, t)],
+            dtype="object",
+        )
+
+    return f
+
+
+def _union_udf():
+    """NULL-tolerant symmetric union, mirroring tdigest.c:2543-2576:
+    tdigest_union(NULL, d) == tdigest_union(d, NULL) == compacted d."""
+
+    @pandas_udf(BinaryType())
+    def f(s: pd.Series, t: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_union_bytes(a, b) for a, b in zip(s, t)], dtype="object"
         )
 
     return f
@@ -92,13 +112,7 @@ def register_sql_functions(spark: SparkSession) -> None:
         "tdigest_digest_avg",
         _map_udf(DoubleType(), lambda b: TDigest.from_bytes(bytes(b)).trimmed_avg(0.0, 1.0)),
     )
-    reg(
-        "tdigest_union",
-        _map2_udf(
-            BinaryType(),
-            lambda a, b: _union_bytes(a, b),
-        ),
-    )
+    reg("tdigest_union", _union_udf())
     reg("hll_cardinality", _map_udf(LongType(), lambda b: HLL.from_bytes(bytes(b)).cardinality()))
     reg("countmin_total", _map_udf(LongType(), lambda b: CountMin.from_bytes(bytes(b)).total))
     reg("kll_n", _map_udf(LongType(), lambda b: KLL.from_bytes(bytes(b)).n))
@@ -106,8 +120,18 @@ def register_sql_functions(spark: SparkSession) -> None:
 
 
 def _union_bytes(a, b):
+    """Merge two serialized digests; NULL-tolerant on either side.
+
+    ``tdigest_union(NULL, d)`` is the reference's documented
+    force-compaction idiom (README.md:246-248) and must return a
+    compacted copy of ``d``, not NULL (tdigest.c:2543-2576)."""
+    if a is None and b is None:
+        return None
+    if a is None:
+        a, b = b, None
     da = TDigest.from_bytes(bytes(a))
     if b is not None:
         db = TDigest.from_bytes(bytes(b))
         da.merge_digest(db)
-    return da.to_bytes()
+    da.recompact()
+    return da.to_bytes(compact=True)

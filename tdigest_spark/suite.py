@@ -18,9 +18,13 @@ from tdigest_spark.spark import functions as TF
 from tdigest_spark.spark.tdigest_agg import (
     tdigest,
     tdigest_avg,
+    tdigest_avg_digests,
     tdigest_percentile,
     tdigest_percentile_digests,
     tdigest_percentile_of,
+    tdigest_percentile_of_digests,
+    tdigest_sum,
+    tdigest_sum_digests,
     tdigest_union_agg,
 )
 
@@ -204,6 +208,267 @@ def q_tdigest_partition_invariance(spark: SparkSession, sf_dir: str) -> DataFram
     return out.orderBy("l_returnflag")
 
 
+def q_tdigest_trimmed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed sum — raw values (#13), (value,count) ingestion (#14) —
+    plus trimmed avg/sum over stored digests (#20/#21), all vs the exact
+    count-window oracle (trimmed_aggregates.sql:29-89)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity"
+    )
+    w = Window.partitionBy("l_linestatus").orderBy("l_extendedprice")
+    ranked = li.withColumn("rn", F.row_number().over(w) - 1).withColumn(
+        "n", F.count("*").over(Window.partitionBy("l_linestatus"))
+    )
+    window_rows = ranked.filter(
+        (F.col("rn") >= F.floor(F.col("n") * 0.1))
+        & (F.col("rn") < F.ceil(F.col("n") * 0.9))
+    )
+    exact = window_rows.groupBy("l_linestatus").agg(
+        F.sum("l_extendedprice").alias("exact_sum"),
+        F.avg("l_extendedprice").alias("exact_avg"),
+    )
+    # #13: trimmed sum over raw values
+    est13 = tdigest_sum(li, "l_extendedprice", 100, 0.1, 0.9, keys=["l_linestatus"])
+    # #14: trimmed sum over (value, count) pre-aggregated l_quantity
+    wq = Window.partitionBy("l_linestatus").orderBy("l_quantity")
+    rq = li.withColumn("rn", F.row_number().over(wq) - 1).withColumn(
+        "n", F.count("*").over(Window.partitionBy("l_linestatus"))
+    )
+    exact_q = (
+        rq.filter(
+            (F.col("rn") >= F.floor(F.col("n") * 0.1))
+            & (F.col("rn") < F.ceil(F.col("n") * 0.9))
+        )
+        .groupBy("l_linestatus")
+        .agg(F.sum("l_quantity").alias("exact_qsum"))
+    )
+    vc = li.groupBy("l_linestatus", "l_quantity").agg(F.count("*").alias("cnt"))
+    est14 = tdigest_sum(
+        vc, "l_quantity", 100, 0.1, 0.9, keys=["l_linestatus"], count_col="cnt",
+        result_col="qsum",
+    )
+    # #20/#21: trimmed avg/sum over stored digests (built per finer grain)
+    dig = tdigest(
+        li, "l_extendedprice", 100, keys=["l_linestatus", "l_returnflag"]
+    )
+    est20 = tdigest_avg_digests(dig, "tdigest", 0.1, 0.9, keys=["l_linestatus"])
+    est21 = tdigest_sum_digests(
+        dig, "tdigest", 0.1, 0.9, keys=["l_linestatus"], result_col="dsum"
+    )
+    joined = (
+        exact.join(exact_q, "l_linestatus")
+        .join(F.broadcast(est13), "l_linestatus")
+        .join(F.broadcast(est14), "l_linestatus")
+        .join(F.broadcast(est20), "l_linestatus")
+        .join(F.broadcast(est21), "l_linestatus")
+    )
+    return joined.select(
+        "l_linestatus",
+        (F.abs(F.col("sum") - F.col("exact_sum")) / F.col("exact_sum") < 0.01).alias(
+            "ok_sum"
+        ),
+        (F.abs(F.col("qsum") - F.col("exact_qsum")) / F.col("exact_qsum") < 0.03).alias(
+            "ok_sum_vc"
+        ),
+        (F.abs(F.col("avg") - F.col("exact_avg")) / F.col("exact_avg") < 0.02).alias(
+            "ok_avg_digests"
+        ),
+        (F.abs(F.col("dsum") - F.col("exact_sum")) / F.col("exact_sum") < 0.02).alias(
+            "ok_sum_digests"
+        ),
+    ).orderBy("l_linestatus")
+
+
+def q_tdigest_vc_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(value, count) ingestion with *array* parameters — quantile
+    vector (#4) and hypothetical-value vector (#8) — on the heavily
+    duplicated l_quantity column (value_count_api.sql:145-251).
+    Tolerance = ~one value-mass (50 distinct values, ~2% each)."""
+    li = _read(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    vc = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    qs = [0.25, 0.5, 0.75]
+    est4 = tdigest_percentile(
+        vc, "l_quantity", 100, qs, keys=["l_returnflag"], count_col="cnt"
+    )
+    probes = [10.5, 25.5]
+    est8 = tdigest_percentile_of(
+        vc, "l_quantity", 100, probes, keys=["l_returnflag"], count_col="cnt"
+    )
+    exact_ranks = li.join(F.broadcast(est4), "l_returnflag").groupBy(
+        "l_returnflag"
+    ).agg(
+        *[
+            (
+                F.abs(
+                    F.avg(
+                        (F.col("l_quantity") <= F.col("percentile")[i]).cast("double")
+                    )
+                    - F.lit(q)
+                )
+                < 0.03
+            ).alias(f"ok_q{int(q * 100)}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    exact_pof = li.groupBy("l_returnflag").agg(
+        *[
+            F.avg((F.col("l_quantity") < p).cast("double")).alias(f"r{i}")
+            for i, p in enumerate(probes)
+        ]
+    )
+    pof_ok = est8.join(exact_pof, "l_returnflag").select(
+        "l_returnflag",
+        *[
+            (F.abs(F.col("percentile_of")[i] - F.col(f"r{i}")) < 0.03).alias(
+                f"ok_h{i}"
+            )
+            for i in range(len(probes))
+        ],
+    )
+    return exact_ranks.join(pof_ok, "l_returnflag").orderBy("l_returnflag")
+
+
+def q_tdigest_digest_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-input aggregates with scalar and array parameters:
+    percentile array over digests (#16), percentile_of over digests,
+    scalar (#17) and array (#18), plus the raw-value percentile_of
+    array variant (#6) — vs exact ranks on the events table."""
+    ev = _read(spark, sf_dir, "events").select("event_type", "value")
+    probes = [5.0, 15.0]
+    qs = [0.25, 0.75]
+    # #6: raw-value percentile_of with a hypothetical-value array
+    est6 = tdigest_percentile_of(ev, "value", 100, probes, keys=["event_type"])
+    # stored digests per group, then digest-input aggregates
+    dig = tdigest(ev, "value", 100, keys=["event_type"])
+    est16 = tdigest_percentile_digests(dig, "tdigest", qs, keys=["event_type"])
+    est17 = tdigest_percentile_of_digests(
+        dig, "tdigest", probes[1], keys=["event_type"], result_col="pof_scalar"
+    )
+    est18 = tdigest_percentile_of_digests(
+        dig, "tdigest", probes, keys=["event_type"], result_col="pof_arr"
+    )
+    exact = ev.groupBy("event_type").agg(
+        *[
+            (
+                (
+                    F.sum((F.col("value") < p).cast("long"))
+                    + F.sum((F.col("value") == p).cast("long")) / 2.0
+                )
+                / F.count("*")
+            ).alias(f"er{i}")
+            for i, p in enumerate(probes)
+        ],
+    )
+    rank16 = ev.join(F.broadcast(est16), "event_type").groupBy("event_type").agg(
+        *[
+            (
+                F.abs(
+                    F.avg((F.col("value") <= F.col("percentile")[i]).cast("double"))
+                    - F.lit(q)
+                )
+                < 0.01
+            ).alias(f"ok16_q{int(q * 100)}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    joined = (
+        exact.join(F.broadcast(est6), "event_type")
+        .join(F.broadcast(est17), "event_type")
+        .join(F.broadcast(est18), "event_type")
+        .join(rank16, "event_type")
+    )
+    return joined.select(
+        "event_type",
+        (F.abs(F.col("percentile_of")[0] - F.col("er0")) < 0.01).alias("ok6_h0"),
+        (F.abs(F.col("percentile_of")[1] - F.col("er1")) < 0.01).alias("ok6_h1"),
+        "ok16_q25",
+        "ok16_q75",
+        (F.abs(F.col("pof_scalar") - F.col("er1")) < 0.01).alias("ok17"),
+        (
+            (F.abs(F.col("pof_arr")[0] - F.col("er0")) < 0.01)
+            & (F.abs(F.col("pof_arr")[1] - F.col("er1")) < 0.01)
+        ).alias("ok18"),
+    ).orderBy("event_type")
+
+
+def q_tdigest_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar digest-function surface in one probe (incremental.sql
+    :36-81 + cast.sql): incremental build with compact=false, then one
+    forced tdigest_union(NULL, d) compaction, must equal the batch
+    aggregate *textually*; tdigest_add / tdigest_union counts; json and
+    double_array layouts; tdigest_digest_sum == exact sum; and the SQL
+    tdigest_union NULL-tolerance (tdigest.c:2543-2576)."""
+    from tdigest_spark.spark.sql_registry import register_sql_functions
+
+    register_sql_functions(spark)
+    n = 1000
+    # the reference's minstd LCG (basic.sql:19-31): deterministic values
+    vals = spark.range(1, n + 1, 1, 1).select(
+        (F.pmod(F.col("id") * 16807, F.lit(2147483647)) / 2147483647.0).alias("v")
+    )
+    d_batch = tdigest(vals, "v", 100)
+    exact = vals.agg(F.sum("v").alias("exact_sum"))
+    # incremental ≡ batch (incremental.sql:36-81): all n values appended
+    # with compact=false, then ONE forced compaction via union(NULL, d),
+    # must byte-equal the single-shot compacted build of the same array
+    arr = F.transform(
+        F.sequence(F.lit(1), F.lit(n)),
+        lambda i: F.pmod(i.cast("long") * 16807, F.lit(2147483647)) / 2147483647.0,
+    )
+    incr = spark.range(1).select(
+        TF.tdigest_union(
+            F.lit(None).cast("binary"),
+            TF.tdigest_add(
+                F.lit(None).cast("binary"), arr, compression=100, compact=False
+            ),
+        ).alias("d_incr"),
+        TF.tdigest_add(
+            F.lit(None).cast("binary"), arr, compression=100, compact=True
+        ).alias("d_oneshot"),
+    )
+    probe = (
+        d_batch.crossJoin(incr)
+        .crossJoin(exact)
+        .select(
+            TF.tdigest_count("tdigest").alias("n"),
+            (
+                TF.tdigest_to_string("d_incr") == TF.tdigest_to_string("d_oneshot")
+            ).alias("incr_eq_batch"),
+            (TF.tdigest_count(TF.tdigest_add("tdigest", F.lit(0.5))) == n + 1).alias(
+                "add_ok"
+            ),
+            (
+                TF.tdigest_count(TF.tdigest_union("tdigest", "tdigest")) == 2 * n
+            ).alias("union_ok"),
+            TF.tdigest_json("tdigest").contains(f'"count": {n}').alias("json_ok"),
+            (
+                (TF.tdigest_double_array("tdigest")[1] == F.lit(float(n)))
+                & (
+                    F.size(TF.tdigest_double_array("tdigest"))
+                    == TF.tdigest_double_array("tdigest")[3].cast("int") * 2 + 4
+                )
+            ).alias("array_ok"),
+            (
+                F.abs(TF.tdigest_digest_sum("tdigest") - F.col("exact_sum"))
+                / F.col("exact_sum")
+                < 1e-9
+            ).alias("digest_sum_ok"),
+            "tdigest",
+        )
+    )
+    probe.createOrReplaceTempView("scalar_probe")
+    return spark.sql(
+        """
+        SELECT n, incr_eq_batch, add_ok, union_ok, json_ok, array_ok,
+               digest_sum_ok,
+               tdigest_count(tdigest_union(CAST(NULL AS BINARY), tdigest)) = n
+                   AND tdigest_count(tdigest_union(tdigest, CAST(NULL AS BINARY))) = n
+                   AS sql_union_null_ok
+        FROM scalar_probe
+        """
+    )
+
+
 # ----------------------------------------------------------------------
 # companion sketches (HLL / count-min / KLL / Bloom)
 # ----------------------------------------------------------------------
@@ -286,14 +551,20 @@ def q_kll_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(td_est), "event_type")
         .groupBy("event_type")
         .agg(
+            F.count("*").alias("n"),
             F.avg((F.col("value") <= F.col("quantile")).cast("double")).alias("kr"),
             F.avg((F.col("value") <= F.col("percentile")).cast("double")).alias("tr"),
         )
     )
+    # cross-check slack: the t-digest median sits inside a centroid of
+    # ~4π·N·q(1-q)/c values, so its rank granularity floor is ~6/n
     return ranks.select(
         "event_type",
         (F.abs(F.col("kr") - 0.5) < 0.02).alias("kll_ok"),
-        (F.abs(F.col("kr") - F.col("tr")) < 0.02).alias("cross_ok"),
+        (
+            F.abs(F.col("kr") - F.col("tr"))
+            < F.greatest(F.lit(0.02), 6.0 / F.col("n"))
+        ).alias("cross_ok"),
     ).orderBy("event_type")
 
 
@@ -614,7 +885,9 @@ def q_windowed_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(
                     F.avg((F.col("value") <= F.col("percentile")).cast("double")) - 0.5
                 )
-                < 0.02
+                # rank granularity is 1/n — tiny windows (sf0.001 has
+                # ~25 events/day) can't land closer than ~0.5/n to 0.5
+                < F.greatest(F.lit(0.02), 1.5 / F.count("*"))
             ).alias("ok"),
         )
     )
@@ -737,6 +1010,10 @@ TDIGEST_QUERIES = {
     "tdigest_reaggregate": q_tdigest_reaggregate,
     "tdigest_serialization": q_tdigest_serialization,
     "tdigest_partition_invariance": q_tdigest_partition_invariance,
+    "tdigest_trimmed_sum": q_tdigest_trimmed_sum,
+    "tdigest_vc_array": q_tdigest_vc_array,
+    "tdigest_digest_inputs": q_tdigest_digest_inputs,
+    "tdigest_scalar_functions": q_tdigest_scalar_functions,
     "sql_surface": q_sql_surface,
     "streaming_digest": q_streaming_digest,
     "windowed_percentile": q_windowed_percentile,
@@ -810,6 +1087,26 @@ TDIGEST_ORACLES = {
     "tdigest_partition_invariance": (
         "SELECT l_returnflag, TRUE AS ok_3, TRUE AS ok_13 FROM lineitem "
         "GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "tdigest_trimmed_sum": (
+        "SELECT l_linestatus, TRUE AS ok_sum, TRUE AS ok_sum_vc,"
+        " TRUE AS ok_avg_digests, TRUE AS ok_sum_digests FROM lineitem "
+        "GROUP BY l_linestatus ORDER BY l_linestatus"
+    ),
+    "tdigest_vc_array": (
+        "SELECT l_returnflag, TRUE AS ok_q25, TRUE AS ok_q50, TRUE AS ok_q75,"
+        " TRUE AS ok_h0, TRUE AS ok_h1 FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "tdigest_digest_inputs": (
+        "SELECT event_type, TRUE AS ok6_h0, TRUE AS ok6_h1, TRUE AS ok16_q25,"
+        " TRUE AS ok16_q75, TRUE AS ok17, TRUE AS ok18 FROM events "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+    "tdigest_scalar_functions": (
+        "SELECT CAST(1000 AS BIGINT) AS n, TRUE AS incr_eq_batch, TRUE AS add_ok,"
+        " TRUE AS union_ok, TRUE AS json_ok, TRUE AS array_ok,"
+        " TRUE AS digest_sum_ok, TRUE AS sql_union_null_ok"
     ),
     "sql_surface": (
         "SELECT l_returnflag, COUNT(*) AS n, TRUE AS avg_ok, TRUE AS roundtrip_ok "
@@ -915,13 +1212,15 @@ PIPELINE_ORACLES = {
     ),
     "token_stats": (
         "SELECT lang, COUNT(*) AS n_docs,"
-        " SUM(CASE WHEN length(trim(text)) = 0 THEN 0"
-        " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS total_tokens"
+        " CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0"
+        " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT)"
+        " AS total_tokens"
         " FROM documents GROUP BY lang ORDER BY lang"
     ),
     "quality_filter": (
-        "SELECT source, SUM(CASE WHEN " + _QUALITY_SQL + " THEN 1 ELSE 0 END)"
-        " AS n_pass FROM documents GROUP BY source ORDER BY source"
+        "SELECT source, CAST(SUM(CASE WHEN " + _QUALITY_SQL + " THEN 1 ELSE 0"
+        " END) AS BIGINT) AS n_pass"
+        " FROM documents GROUP BY source ORDER BY source"
     ),
     "lang_id": "SELECT CAST(8 AS BIGINT) AS n, CAST(8 AS BIGINT) AS correct",
     "fingerprint_dups": (
