@@ -36,8 +36,18 @@ def _success_marker(path: str) -> str:
     return os.path.join(path, "_SUCCESS")
 
 
-def is_complete(path: str) -> bool:
-    return os.path.exists(_success_marker(path))
+def is_complete(path: str, spark: SparkSession | None = None) -> bool:
+    """True when the checkpoint's _SUCCESS marker exists.  Resolved
+    through the Hadoop FileSystem API so resume detection works on
+    HDFS/S3/GCS paths, not just the local filesystem; falls back to
+    os.path only when no SparkSession is available."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        return os.path.exists(_success_marker(path))
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(_success_marker(path))
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def build_partial_digests(
@@ -52,7 +62,7 @@ def build_partial_digests(
     ``checkpoint_dir`` with lineage columns.  Returns the checkpoint
     table (from disk).  No-op if the checkpoint is already complete."""
     spark = df.sparkSession
-    if is_complete(checkpoint_dir) and not overwrite:
+    if is_complete(checkpoint_dir, spark) and not overwrite:
         return read_partials(spark, checkpoint_dir)
 
     keys = list(keys)
@@ -89,9 +99,12 @@ def build_partial_digests(
                     d = acc[gkey] = TDigest(compression)
                     rows_seen[gkey] = 0
                 sliced = vcol.take(pa.array(rows)) if rows is not None else vcol
-                arr = sliced.to_numpy(zero_copy_only=False)
-                d.add_values(np.asarray(arr, dtype=np.float64))
-                rows_seen[gkey] += len(sliced)
+                arr = np.asarray(sliced.to_numpy(zero_copy_only=False), dtype=np.float64)
+                d.add_values(arr)
+                # count only rows the digest actually ingested —
+                # add_values drops NaN/NULL, and the lineage invariant
+                # (sum n_rows == sum digest counts) must hold with them
+                rows_seen[gkey] += int(np.count_nonzero(~np.isnan(arr)))
         out: dict[str, list] = {f.name: [] for f in schema.fields}
         for gkey, d in acc.items():
             blob = d.to_bytes() if d.count > 0 else None
@@ -155,14 +168,18 @@ def checkpointed_percentile(
 
 def verify_lineage(partials: DataFrame, expected_rows: int | None = None) -> dict:
     """Consistency checks over the checkpoint: Σ n_rows == Σ digest
-    counts == expected input rows (when known)."""
+    counts == expected input rows (when known).  Fully distributed —
+    per-row digest counts are decoded executor-side and summed with
+    F.sum, so a 10^6-split checkpoint never materializes on the
+    driver."""
+    from tdigest_spark.spark import functions as TF
+
     rows = partials.agg(
-        F.sum("n_rows").alias("rows"), F.count("*").alias("groups")
+        F.sum("n_rows").alias("rows"),
+        F.count("*").alias("groups"),
+        F.sum(TF.tdigest_count(F.col("digest"))).alias("dcount"),
     ).collect()[0]
-    digest_rows = partials.select("digest").toPandas()["digest"]
-    total_count = sum(
-        TDigest.from_bytes(bytes(b)).count for b in digest_rows if b is not None
-    )
+    total_count = int(rows["dcount"] or 0)
     ok = total_count == rows["rows"] and (
         expected_rows is None or rows["rows"] == expected_rows
     )

@@ -42,14 +42,15 @@ def exact_dup_pairs(
     smallest id of the content group.  Shuffles only (md5, id)."""
     t = _norm_text(F.col(text_col)) if normalize else F.col(text_col)
     hashed = df.select(F.md5(t).alias("__h__"), F.col(id_col))
-    groups = (
-        hashed.groupBy("__h__")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    return groups.select(
-        F.col("ids")[0].alias("keep_id"),
-        F.explode(F.slice("ids", 2, 2_000_000_000)).alias("dup_id"),
+    # min-per-hash + join back: both sides stream (map-side partial
+    # agg, no per-group arrays), so a boilerplate text duplicated 10^8
+    # times costs one counter on one reducer, not one 10^8-element
+    # array (the collect_list formulation OOMs on such groups)
+    keepers = hashed.groupBy("__h__").agg(F.min(id_col).alias("keep_id"))
+    return (
+        hashed.join(keepers, "__h__")
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select("keep_id", F.col(id_col).alias("dup_id"))
     )
 
 

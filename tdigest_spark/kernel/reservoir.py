@@ -48,14 +48,16 @@ class Reservoir:
             prio = splitmix64(as_u64(h) + np.uint64(self.seed))
         all_p = np.concatenate([self.prios, prio])
         all_h = np.concatenate([self.hashes, h])
-        if all_p.size > self.k:
-            idx = np.argpartition(all_p, self.k - 1)[: self.k]
-            order = np.argsort(all_p[idx], kind="stable")
-            idx = idx[order]
-        else:
-            idx = np.argsort(all_p, kind="stable")
-        self.prios = all_p[idx]
-        self.hashes = all_h[idx]
+        # dedupe by priority exactly like merge() does — the sketch is a
+        # bottom-k over DISTINCT hashes at every stage, otherwise a
+        # duplicate arriving twice in one partition occupies two slots
+        # (evicting the k-th distinct element) and the sample stops
+        # being partition-invariant
+        _, uniq = np.unique(all_p, return_index=True)
+        all_p, all_h = all_p[uniq], all_h[uniq]
+        order = np.argsort(all_p, kind="stable")[: self.k]
+        self.prios = all_p[order]
+        self.hashes = all_h[order]
 
     def merge(self, other: "Reservoir") -> None:
         if (other.k, other.seed) != (self.k, self.seed):

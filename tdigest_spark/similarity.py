@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -118,38 +118,42 @@ def cosine_topk(
     return partials.groupBy("query_id").applyInPandas(global_merge, result_schema)
 
 
+def _unit_vec(vec: Column) -> Column:
+    """L2-normalize an array<double> column (pure JVM expressions)."""
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    return F.transform(vec, lambda x: x / safe)
+
+
 def cosine_pairs_above(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine similarity >= threshold.
 
-    Exact O(n²/P) block matmul: one side is collected+broadcast (fits
-    for verification-scale corpora), partitions stream the other side.
-    For 100 TB corpora use rp_lsh_buckets to restrict to candidates
-    first."""
-    spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
-    bc = spark.sparkContext.broadcast((ids, mat))
-
-    schema = StructType(
-        [StructField("id_a", LongType()), StructField("id_b", LongType())]
+    Exact O(n²) verifier as a *broadcast range join*: vectors are
+    L2-normalized with JVM expressions, one side is broadcast by Spark
+    (no driver ``collect()``), and the dot product is a JVM
+    ``aggregate(zip_with(...))`` — nothing leaves the executors and no
+    full-table materialization happens on the driver.  Cost is still
+    quadratic in n by definition; for 100 TB corpora restrict to
+    candidates with rp_lsh_buckets/rp_lsh_candidate_pairs first."""
+    unit = df.select(
+        F.col(id_col).alias("__uid__"), _unit_vec(F.col(vec_col)).alias("__uv__")
     )
-
-    def block(batches):
-        all_ids, all_mat = bc.value
-        for pdf in batches:
-            bids = pdf[id_col].to_numpy(dtype=np.int64)
-            bmat = _normalize(_to_matrix(pdf[vec_col]))
-            sims = bmat @ all_mat.T  # (batch, n)
-            bi, aj = np.nonzero(sims >= threshold)
-            left = bids[bi]
-            right = all_ids[aj]
-            keep = left < right
-            yield pd.DataFrame({"id_a": left[keep], "id_b": right[keep]})
-
-    return df.select(id_col, vec_col).mapInPandas(block, schema).distinct()
+    a = unit.select(F.col("__uid__").alias("id_a"), F.col("__uv__").alias("va"))
+    b = unit.select(F.col("__uid__").alias("id_b"), F.col("__uv__").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(dot >= F.lit(float(threshold)))
+        .select("id_a", "id_b")
+    )
 
 
 def rp_lsh_buckets(

@@ -33,11 +33,14 @@ def tree_merge(
 ) -> bytes | None:
     """treeAggregate-style global fold of serialized sketches.
 
-    Each round shrinks the row count by ``fanout`` by merging within
-    hash buckets, so no single task ever folds more than ``fanout``
-    sketches.  Use for global aggregation when #partitions is very
+    Round count is fixed from the *partition* count at plan time — no
+    ``df.count()`` actions inside the pipeline.  Each pass collapses
+    every partition to one sketch (folding incrementally so at most
+    ``fanout`` serialized sketches are held at once), then repartitions
+    ``fanout``× narrower, so no task ever receives more than ``fanout``
+    upstream rows.  Use for global aggregation when #partitions is very
     large (e.g. 10^5 file splits of a 100 TB table); for grouped
-    aggregation prefer ``salt=`` in :func:`sketch_groupby`.
+    aggregation prefer ``salt=`` in :func:`sketch_groupby_arrow`.
     """
     schema = StructType([StructField(sketch_col, BinaryType(), True)])
 
@@ -45,14 +48,18 @@ def tree_merge(
         buf: list[bytes] = []
         for pdf in batches:
             buf.extend(s for s in pdf[sketch_col] if s is not None)
+            if len(buf) > fanout:  # bound working-set memory
+                buf = [merge_bytes(buf)]
         yield pd.DataFrame({sketch_col: [merge_bytes(buf)] if buf else []})
 
     df = partials.select(sketch_col)
-    n = df.count()
-    while n > fanout:
-        n_buckets = max(1, int(np.ceil(n / fanout)))
-        df = df.repartition(n_buckets).mapInPandas(merge_partition, schema)
-        n = df.count()
+    # collapse each input partition to one sketch (narrow, no shuffle),
+    # then halve-by-fanout until at most `fanout` rows remain
+    width = max(1, df.rdd.getNumPartitions())
+    df = df.mapInPandas(merge_partition, schema)
+    while width > fanout:
+        width = int(np.ceil(width / fanout))
+        df = df.repartition(width).mapInPandas(merge_partition, schema)
     rows = df.collect()
     sketches = [r[sketch_col] for r in rows if r[sketch_col] is not None]
     return merge_bytes(sketches) if sketches else None

@@ -33,6 +33,12 @@ from pyspark.sql.types import BinaryType, StructField, StructType
 GROUP_SENTINEL = "__sketch_group__"
 SKETCH_COL = "__sketch__"
 
+# a global (no-key) aggregate funnels one partial per input partition
+# into a single merge task; beyond this many partials, bounded fan-in
+# merge rounds are inserted automatically (~1.6 kB per t-digest partial
+# → one task never folds more than ~400 kB of sketches per round)
+MERGE_FANOUT = 256
+
 
 def _key_schema(df: DataFrame, keys: Sequence[str]) -> list[StructField]:
     by_name = {f.name: f for f in df.schema.fields}
@@ -143,6 +149,7 @@ def sketch_groupby_arrow(
             cols[SKETCH_COL].append(serialize(st))
         yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
 
+    n_input_parts = max(1, df.rdd.getNumPartitions())
     partials = df.mapInArrow(run_partial, partial_schema)
     if not grouped:
         # SQL semantics: an ungrouped aggregate over zero rows still
@@ -171,6 +178,27 @@ def sketch_groupby_arrow(
             lambda blobs: (mb(blobs) if blobs else None,),
             emit_keys=keys,
         )
+
+    if not grouped and merge_bytes is not None:
+        # tree-merge rounds for global aggregation: round count is fixed
+        # at plan time from the input partition count (no actions), and
+        # each round's bucket column caps a merge task's fan-in at
+        # ~MERGE_FANOUT partials, so the final single-group merge never
+        # sees more than MERGE_FANOUT rows even at 10^5 file splits
+        mb = merge_bytes
+        width = n_input_parts
+        while width > MERGE_FANOUT:
+            width = -(-width // MERGE_FANOUT)  # ceil div
+            bucketed = partials.withColumn(
+                "__fanin__", F.pmod(F.spark_partition_id(), F.lit(width))
+            )
+            partials = _merge_pass(
+                bucketed,
+                [*keys, "__fanin__"],
+                partial_schema,
+                lambda blobs: (mb(blobs) if blobs else None,),
+                emit_keys=keys,
+            )
 
     result = _merge_pass(
         partials, keys, result_schema, finalize, emit_keys=keys,

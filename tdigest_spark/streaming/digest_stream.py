@@ -120,6 +120,7 @@ def streaming_windowed_tdigest(
     )
     state_schema = StructType([StructField("digest", BinaryType(), True)])
     group_cols = [*keys, "window_start"]
+    window_ms = int(pd.Timedelta(window_duration).total_seconds() * 1000)
 
     def update(key, batches, state: GroupState):
         if state.hasTimedOut:
@@ -137,8 +138,17 @@ def streaming_windowed_tdigest(
         if d.count > 0:
             blob = d.to_bytes()
             state.update((blob,))
-            # evict once the watermark passes the window end (+ slack)
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 60_000)
+            # evict only once the watermark passes the WINDOW END — a
+            # watermark-relative timeout would drop a still-open window
+            # that merely went idle for one micro-batch, silently
+            # splitting its digest.  (Rows for this window are admitted
+            # exactly while watermark < window_end, so that is the
+            # earliest safe eviction point.)
+            window_start = key[len(keys)]
+            window_end_ms = int(pd.Timestamp(window_start).value // 10**6) + window_ms
+            state.setTimeoutTimestamp(
+                max(window_end_ms + 1_000, state.getCurrentWatermarkMs() + 1_000)
+            )
             yield pd.DataFrame(
                 {
                     **{k: [kv] for k, kv in zip(group_cols, key)},

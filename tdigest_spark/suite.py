@@ -836,34 +836,40 @@ def q_streaming_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    # the memory sink holds one small update row per (lang, batch) —
+    # driver-side by design; the *verification* below stays distributed
+    # (broadcast join + F.avg rank check), never collecting the data
     updates = spark.sql(f"SELECT * FROM {name}")
     final = {}
     for r in updates.collect():
         if r["lang"] not in final or r["count"] > final[r["lang"]]["count"]:
             final[r["lang"]] = {"count": r["count"], "digest": bytes(r["digest"])}
-    exact = {
-        r["lang"]: sorted(r["vs"])
-        for r in docs.groupBy("lang").agg(F.collect_list("v").alias("vs")).collect()
-    }
-    rows = []
-    for lang, xs in sorted(exact.items()):
-        f = final.get(lang)
-        d = TDigest.from_bytes(f["digest"]) if f else None
-        import numpy as np
-
-        rank = (
-            float(np.searchsorted(xs, d.quantile(0.5), side="right")) / len(xs)
-            if d
-            else None
+    est_rows = [
+        (
+            lang,
+            int(f["count"]),
+            float(TDigest.from_bytes(f["digest"]).quantile(0.5)),
         )
-        rows.append(
-            (
-                lang,
-                int(f["count"]) if f else 0,
-                bool(d is not None and abs(rank - 0.5) < 0.03),
-            )
+        for lang, f in sorted(final.items())
+    ]
+    est = spark.createDataFrame(est_rows, ["lang", "n_stream", "p50"])
+    checked = (
+        docs.join(F.broadcast(est), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.first("n_stream").alias("n_stream"),
+            F.avg((F.col("v") <= F.col("p50")).cast("double")).alias("rank"),
         )
-    return spark.createDataFrame(rows, ["lang", "n", "ok"])
+    )
+    return checked.select(
+        "lang",
+        F.col("n_stream").alias("n"),
+        (
+            (F.col("n_stream") == F.col("n_exact"))
+            & (F.abs(F.col("rank") - 0.5) < 0.03)
+        ).alias("ok"),
+    ).orderBy("lang")
 
 
 def q_windowed_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:

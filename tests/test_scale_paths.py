@@ -1,0 +1,235 @@
+"""Scale-path regression tests: the behaviors that only matter at
+cluster scale — bounded fan-in for global aggregation, no driver-side
+materialization in pipeline operators, streaming window eviction, and
+lineage invariants under dirty data."""
+
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tdigest_spark.kernel.reservoir import Reservoir
+from tdigest_spark.kernel.tdigest import TDigest
+
+
+# ----------------------------------------------------------------------
+# auto tree-merge for global (no-key) aggregation
+# ----------------------------------------------------------------------
+def test_global_agg_bounded_fanin(spark, monkeypatch):
+    """With MERGE_FANOUT shrunk, a many-partition global aggregate must
+    insert an intermediate merge round (one extra MapInArrow stage) and
+    still produce an exact count and an in-bound median."""
+    from tdigest_spark.spark import arrow_agg
+    from tdigest_spark.spark.tdigest_agg import tdigest_percentile
+
+    monkeypatch.setattr(arrow_agg, "MERGE_FANOUT", 4)
+    n = 20_000
+    df = (
+        spark.range(n)
+        .select((F.col("id").cast("double") / n).alias("v"))
+        .repartition(9)
+    )
+    est = tdigest_percentile(df, "v", 100, 0.5)
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    # partial + fan-in round (9 partitions / fanout 4 -> width 3) + final
+    assert plan.count("MapInArrow") == 3, plan
+    row = est.collect()[0]
+    assert abs(row["percentile"] - 0.5) < 0.01
+
+    # control: below the fanout threshold no extra round appears
+    monkeypatch.setattr(arrow_agg, "MERGE_FANOUT", 256)
+    est2 = tdigest_percentile(df, "v", 100, 0.5)
+    plan2 = est2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("MapInArrow") == 2, plan2
+    assert abs(est2.collect()[0]["percentile"] - 0.5) < 0.01
+
+
+def test_recompact_preserves_mass_and_is_forced(spark):
+    """recompact() re-merges stored centroids (union(NULL, d) idiom):
+    count is preserved, estimates stay in-bound, and an uncompacted
+    serialized digest actually shrinks."""
+    vals = np.random.RandomState(3).rand(900)  # < BUFFER_SIZE(100)
+    d = TDigest(100)
+    d.add_values(vals, compact_threshold=1 << 62)
+    raw = d.to_bytes(compact=False)
+    r = TDigest.from_bytes(raw)
+    assert len(r.means) == 900
+    r.recompact()
+    assert r.count == 900
+    assert len(r.means) < 200
+    xs = np.sort(vals)
+    rank = np.searchsorted(xs, r.quantile(0.5), side="right") / len(xs)
+    assert abs(rank - 0.5) < 0.02
+
+
+# ----------------------------------------------------------------------
+# driver-free pipeline operators
+# ----------------------------------------------------------------------
+def test_exact_dup_pairs_streams(spark):
+    """No per-group arrays: the plan must not contain collect_list, and
+    the output pairs are unchanged."""
+    from tdigest_spark.dedup import exact_dup_pairs
+
+    rows = [(1, "aa bb"), (2, "aa  bb"), (3, "cc"), (4, "AA BB"), (5, "dd")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = exact_dup_pairs(df, "doc_id", "text")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    got = {(r["keep_id"], r["dup_id"]) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 4)}
+
+
+def test_cosine_pairs_above_is_broadcast_join(spark):
+    """The exact pair verifier must be a broadcast join over JVM
+    expressions — no full-table collect to the driver."""
+    from tdigest_spark.similarity import cosine_pairs_above
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(40, 8)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    res = cosine_pairs_above(df, "vec_id", "embedding", 0.5)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    got = {(r["id_a"], r["id_b"]) for r in res.collect()}
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    want = {
+        (i, j)
+        for i in range(40)
+        for j in range(i + 1, 40)
+        if sims[i, j] >= 0.5
+    }
+    assert got == want
+
+
+# ----------------------------------------------------------------------
+# reservoir: bottom-k over distinct hashes at every stage
+# ----------------------------------------------------------------------
+def test_reservoir_duplicates_partition_invariant():
+    r_dup = Reservoir(k=2, seed=1)
+    r_dup.add_hashes([5, 5, 1, 2])
+    r_dist = Reservoir(k=2, seed=1)
+    r_dist.add_hashes([5, 1, 2])
+    assert r_dup.sample_hashes().tolist() == r_dist.sample_hashes().tolist()
+
+    split_a = Reservoir(k=2, seed=1)
+    split_a.add_hashes([5, 5])
+    split_b = Reservoir(k=2, seed=1)
+    split_b.add_hashes([1, 2])
+    split_a.merge(split_b)
+    assert split_a.sample_hashes().tolist() == r_dup.sample_hashes().tolist()
+
+
+def test_reservoir_sample_size_is_min_k_distinct():
+    r = Reservoir(k=3, seed=7)
+    r.add_hashes([9, 9, 9])
+    assert len(r.sample_hashes()) == 1
+
+
+# ----------------------------------------------------------------------
+# streaming: idle windows must not be evicted while still open
+# ----------------------------------------------------------------------
+def test_streaming_idle_window_survives_watermark_advance(
+    spark, tmp_path_factory
+):
+    """A window that receives no rows for one micro-batch while the
+    watermark advances must keep its state and fold later in-window
+    rows into the SAME digest (the watermark-relative timeout bug
+    dropped it and silently undercounted)."""
+    import pandas as pd
+
+    from tdigest_spark.streaming.digest_stream import streaming_windowed_tdigest
+
+    d = tmp_path_factory.mktemp("idle_src")
+    rng = np.random.RandomState(5)
+
+    def write(ts_list):
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime(ts_list), "v": rng.rand(len(ts_list))}
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(d))
+        time.sleep(0.2)  # distinct mtimes -> deterministic batch order
+
+    # batch 1: 100 rows in window 10:00-11:00
+    write([f"2024-01-01 10:{m:02d}:00" for m in range(10)] * 10)
+    # batch 2: rows only at 12:30 (other window); watermark -> 10:30,
+    # window 10:00-11:00 is idle but still open (10:30 < 11:00)
+    write(["2024-01-01 12:30:00"] * 5)
+    # batch 3: 50 more rows for 10:00-11:00, all admissible (>= 10:30)
+    write([f"2024-01-01 10:{m:02d}:30" for m in range(40, 50)] * 5)
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    )
+    out = streaming_windowed_tdigest(
+        stream, "ts", "v", window_duration="1 hour", watermark_delay="2 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("idle_win")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("idle_ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM idle_win").collect()
+    by_window = {}
+    for r in rows:
+        k = r["window_start"].isoformat()
+        by_window[k] = max(by_window.get(k, 0), r["count"])
+    assert by_window["2024-01-01T10:00:00"] == 150, by_window
+
+
+# ----------------------------------------------------------------------
+# checkpoint: Hadoop-FS resume detection + NaN-safe lineage
+# ----------------------------------------------------------------------
+def test_is_complete_via_hadoop_fs(spark, tmp_path_factory):
+    from tdigest_spark.checkpoint import build_partial_digests, is_complete
+
+    ckpt = str(tmp_path_factory.mktemp("ck") / "partials")
+    assert not is_complete(ckpt, spark)
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    build_partial_digests(df, ["g"], "v", 100, ckpt)
+    assert is_complete(ckpt, spark)
+    assert is_complete(ckpt)  # ActiveSession fallback resolves too
+
+
+def test_verify_lineage_with_nans(spark, tmp_path_factory):
+    """NaN/NULL values are dropped by the digest; lineage must count
+    only ingested rows so the invariant still holds."""
+    from tdigest_spark.checkpoint import build_partial_digests, verify_lineage
+
+    ckpt = str(tmp_path_factory.mktemp("cknan") / "partials")
+    df = spark.range(1000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.when(F.col("id") % 10 == 0, F.lit(None))
+        .otherwise(F.col("id").cast("double"))
+        .alias("v"),
+    )
+    partials = build_partial_digests(df, ["g"], "v", 100, ckpt)
+    res = verify_lineage(partials, expected_rows=900)
+    assert res["consistent"], res
+    assert res["digest_total_count"] == 900
+
+
+def test_tree_merge_fixed_rounds_no_count_actions(spark):
+    """tree_merge derives its rounds from the partition count; result
+    must be exact on counts regardless of fanout."""
+    from tdigest_spark.spark.agg import tree_merge
+    from tdigest_spark.spark.tdigest_agg import tdigest
+
+    df = spark.range(5000).select(
+        (F.col("id") % 64).cast("string").alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    partials = tdigest(df, "v", 100, keys=["g"]).repartition(16)
+    blob = tree_merge(partials, "tdigest", fanout=3)
+    assert TDigest.from_bytes(blob).count == 5000
