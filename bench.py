@@ -140,6 +140,30 @@ def main() -> None:
     max_rank_err = max(abs(r["r"] - 0.95) for r in ranks)
     _ = rows
 
+    # apples-to-apples rerun of the reference README's experiment
+    # (10M rows (a int, b int, c double), grouped p95; PG: 2873.116 ms
+    # single backend / 893.538 ms at 4 workers — README.md:138-154)
+    readme = {}
+    try:
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        for cores in (1, 4):
+            out = subprocess.run(
+                [sys.executable, os.path.join(here, "scripts", "readme_bench.py"),
+                 "--cores", str(cores)],
+                capture_output=True, text=True, timeout=900, check=True,
+            )
+            readme[f"local{cores}_ms"] = json.loads(
+                out.stdout.strip().splitlines()[-1]
+            )["ms"]
+        readme["pg_1worker_ms"] = 2873.116
+        readme["pg_4worker_ms"] = 893.538
+        readme["vs_pg_1w"] = round(readme["local1_ms"] / 2873.116, 3)
+        readme["vs_pg_4w"] = round(readme["local4_ms"] / 893.538, 3)
+    except Exception as exc:  # noqa: BLE001 — bench must still emit its line
+        readme = {"error": str(exc)[:200]}
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "tdigest_suite_total_time",
@@ -151,7 +175,8 @@ def main() -> None:
         "rows_per_sec": int(total_rows / total_time) if total_time > 0 else None,
         "p95_rel_rank_error": round(max_rank_err, 6),
         "flagship_docs_per_sec": int(n_rows / build_sec) if build_sec else None,
-        "scaling_efficiency_note": "see BENCH.md: 4->16 cores = 0.879 on 24M pages",
+        "readme_10m_grouped_p95": readme,
+        "scaling_efficiency_note": "see BENCH.md scaling table",
     }
     print(json.dumps(result))
 

@@ -1,0 +1,98 @@
+"""Apples-to-apples rerun of the reference README's one published
+experiment (/root/reference/README.md:107-154):
+
+    CREATE TABLE t (a int, b int, c double precision);
+    INSERT INTO t SELECT 10*random(), 10*random(), random()
+      FROM generate_series(1, 10000000);
+    SELECT a, tdigest_percentile(c, 100, 0.95) FROM t GROUP BY a ORDER BY a;
+        -- 2873.116 ms single backend, 893.538 ms at 4 parallel workers
+
+Usage:
+    python scripts/readme_bench.py --generate            # build the table
+    python scripts/readme_bench.py --cores 1             # measure
+    python scripts/readme_bench.py --cores 4
+
+Prints one JSON line: {"cores": N, "ms": ..., "rows_per_sec": ...}.
+Timing = median of 3 runs after one warmup, wall clock of the full
+collect() including the Parquet scan (like PG's \\timing includes the
+heap scan of table t).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_ROWS = 10_000_000
+DEFAULT_DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".bench_cache",
+    "readme10m",
+)
+
+
+def generate(data_dir: str, cores: int = 16) -> None:
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.spark.session import get_spark
+
+    spark = get_spark("readme-bench-gen", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.range(N_ROWS, numPartitions=32).select(
+        F.floor(F.rand(41) * 10).cast("int").alias("a"),
+        F.floor(F.rand(42) * 10).cast("int").alias("b"),
+        F.rand(43).alias("c"),
+    )
+    df.write.mode("overwrite").parquet(data_dir)
+    spark.stop()
+
+
+def measure(data_dir: str, cores: int, runs: int = 3) -> dict:
+    from tdigest_spark.spark.session import get_spark
+    from tdigest_spark.spark.tdigest_agg import tdigest_percentile
+
+    spark = get_spark("readme-bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    t = spark.read.parquet(data_dir).select("a", "c")
+
+    def run() -> float:
+        t0 = time.time()
+        rows = tdigest_percentile(t, "c", 100, 0.95, keys=["a"]).orderBy("a").collect()
+        dt = time.time() - t0
+        assert len(rows) == 10
+        return dt
+
+    run()  # warmup: JVM, python worker pool, parquet footers
+    times = sorted(run() for _ in range(runs))
+    ms = times[runs // 2] * 1000
+    spark.stop()
+    return {
+        "cores": cores,
+        "ms": round(ms, 1),
+        "rows_per_sec": int(N_ROWS / (ms / 1000.0)),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=1)
+    ap.add_argument("--data", default=DEFAULT_DATA)
+    ap.add_argument("--generate", action="store_true")
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+    if args.generate:
+        generate(args.data)
+        print(json.dumps({"generated": args.data, "rows": N_ROWS}))
+        return
+    if not os.path.exists(os.path.join(args.data, "_SUCCESS")):
+        generate(args.data)
+    print(json.dumps(measure(args.data, args.cores, args.runs)))
+
+
+if __name__ == "__main__":
+    main()

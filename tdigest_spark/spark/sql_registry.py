@@ -54,6 +54,37 @@ def _map2_udf(ret, fn):
     return f
 
 
+def _add_udf():
+    """SQL tdigest_add(digest, value_or_array, compression, compact) —
+    the reference's incremental update (tdigest.c:2422-2533).  Spark SQL
+    UDFs have no parameter defaults, so the SQL form takes all four
+    arguments explicitly, e.g. ``tdigest_add(d, v, 100, true)``; pass a
+    NULL digest with a compression to create a new digest."""
+
+    @pandas_udf(BinaryType())
+    def f(ds: pd.Series, vs: pd.Series, comp: pd.Series, compact: pd.Series) -> pd.Series:
+        out = []
+        for blob, v, c, ck in zip(ds, vs, comp, compact):
+            if v is None:
+                out.append(None if blob is None else bytes(blob))
+                continue
+            if blob is None:
+                if c is None:
+                    raise ValueError(
+                        "tdigest_add: NULL digest requires an explicit compression"
+                    )
+                d = TDigest(int(c))
+            else:
+                d = TDigest.from_bytes(bytes(blob))
+            vals = v if hasattr(v, "__len__") else [v]
+            do_compact = bool(ck) if ck is not None else True
+            d.add_values(vals, compact_threshold=None if do_compact else 1 << 62)
+            out.append(d.to_bytes(compact=do_compact))
+        return pd.Series(out, dtype="object")
+
+    return f
+
+
 def _union_udf():
     """NULL-tolerant symmetric union, mirroring tdigest.c:2543-2576:
     tdigest_union(NULL, d) == tdigest_union(d, NULL) == compacted d."""
@@ -113,6 +144,8 @@ def register_sql_functions(spark: SparkSession) -> None:
         _map_udf(DoubleType(), lambda b: TDigest.from_bytes(bytes(b)).trimmed_avg(0.0, 1.0)),
     )
     reg("tdigest_union", _union_udf())
+    reg("tdigest_add", _add_udf())
+    reg("tdigest_add_array", _add_udf())
     reg("hll_cardinality", _map_udf(LongType(), lambda b: HLL.from_bytes(bytes(b)).cardinality()))
     reg("countmin_total", _map_udf(LongType(), lambda b: CountMin.from_bytes(bytes(b)).total))
     reg("kll_n", _map_udf(LongType(), lambda b: KLL.from_bytes(bytes(b)).n))

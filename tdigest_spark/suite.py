@@ -709,6 +709,33 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN: recall@10 of the probed search vs the exact
+    brute-force baseline over the same corpus.  Centroids are trained
+    deterministically (seeded k-means on a sample), so the result is
+    stable; n_queries is exact and oracle-checkable."""
+    from tdigest_spark.similarity import cosine_topk, ivf_centroids, ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 10).collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    cents = ivf_centroids(corpus, "embedding", n_lists=16)
+    ivf = ivf_topk(corpus, "vec_id", "embedding", queries, cents, k=10, n_probe=6)
+    exact = cosine_topk(corpus, "vec_id", "embedding", queries, k=10)
+    hit = exact.select("query_id", "neighbor_id").join(
+        ivf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .select(
+            F.lit(10).cast("long").alias("n_queries"),
+            (F.col("n_hit") >= F.col("n_exact") * 0.7).alias("recall_ok"),
+        )
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact whitespace-token totals per language (pure JVM split)."""
     from tdigest_spark.text import token_count
@@ -1157,6 +1184,7 @@ PIPELINE_QUERIES = {
     "cosine_topk": q_cosine_topk,
     "cosine_threshold_pairs": q_cosine_threshold_pairs,
     "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf": q_ann_ivf,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -1216,6 +1244,7 @@ PIPELINE_ORACLES = {
         " WHERE a.vec_id < b.vec_id"
         " AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
     ),
+    "ann_ivf": "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok",
     "token_stats": (
         "SELECT lang, COUNT(*) AS n_docs,"
         " CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0"

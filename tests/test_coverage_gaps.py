@@ -115,11 +115,24 @@ def test_trimmed_sum_aggregates(lineitem):
 # ----------------------------------------------------------------------
 # plan shape: pruning must reach the scan through the Arrow boundary
 # ----------------------------------------------------------------------
-def test_scan_reads_only_needed_columns(spark):
+def test_scan_reads_only_needed_columns(spark, monkeypatch):
     # a cached full-width lineitem from another fixture would be
     # substituted for the fresh scan and hide the pruning
+    from tdigest_spark.spark import arrow_agg
+
     spark.catalog.clearCache()
     li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")  # 11 columns
+
+    # native-scan path: the pyarrow reader's column list must be pruned
+    native = arrow_agg._native_parquet_splits(
+        li, ["l_returnflag", "l_extendedprice"]
+    )
+    assert native is not None
+    _, col_map = native
+    assert set(col_map) == {"l_returnflag", "l_extendedprice"}
+
+    # Catalyst path (native scan off): pruning must reach ReadSchema
+    monkeypatch.setattr(arrow_agg, "NATIVE_SCAN", False)
     q = tdigest_percentile(li, "l_extendedprice", 100, 0.5, keys=["l_returnflag"])
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
