@@ -187,8 +187,19 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
             return None
         if relation.fileFormat().toString() != "Parquet":
             return None
-        if relation.partitionSchema().nonEmpty():
-            return None  # partition columns live in paths, not files
+        # hive-layout partition columns live in directory names; the
+        # reader synthesizes them per file (plain attributes only —
+        # casts/exprs of a partition column fall back to Catalyst)
+        pschema = relation.partitionSchema()
+        part_cols: dict[str, str] = {}
+        for i in range(pschema.size()):
+            f = pschema.apply(i)
+            part_cols[f.name()] = f.dataType().simpleString()
+        for name, (src, op) in list(col_map.items()):
+            if src in part_cols:
+                if op is not None or name != src:
+                    return None
+                col_map[name] = (src, ("partition", part_cols[src]))
         if kind == "LogicalRelation":
             out = rel.output()
             for i in range(out.size()):
@@ -272,8 +283,14 @@ def _native_partials(
     keys = list(keys)
     inputs = list(inputs)
     needed = list(dict.fromkeys([*keys, *inputs]))
-    sources = list(dict.fromkeys(col_map[c][0] for c in needed))
     ops = {c: col_map[c] for c in needed}
+    sources = list(
+        dict.fromkeys(
+            src
+            for src, op in col_map.values()
+            if not (op is not None and op[0] == "partition")
+        )
+    )
 
     def scan_split(it):
         import pyarrow as pa  # noqa: F401 (re-import for the worker)
@@ -283,6 +300,11 @@ def _native_partials(
         states: dict[tuple, Any] = {}
         for bundle in it:
             for path, lo, hi in bundle:
+                pvals = {
+                    out: _hive_partition_value(path, src, op[1])
+                    for out, (src, op) in ops.items()
+                    if op is not None and op[0] == "partition"
+                }
                 pf = pq.ParquetFile(path)
                 if lo < 0:
                     batches = pf.iter_batches(columns=sources, batch_size=65536)
@@ -299,6 +321,11 @@ def _native_partials(
                     cols = []
                     for out_name in needed:
                         src, op = ops[out_name]
+                        if op is not None and op[0] == "partition":
+                            cols.append(
+                                pa.array([pvals[out_name]] * batch.num_rows)
+                            )
+                            continue
                         col = batch.column(batch.schema.get_field_index(src))
                         if op is not None:
                             kind, ddl = op
@@ -327,7 +354,29 @@ def _native_partials(
     rdd = spark.sparkContext.parallelize(splits, len(splits)).mapPartitions(
         scan_split
     )
-    return spark.createDataFrame(rdd, partial_schema)
+    # rows are engine-built (one per group per split); skip the per-row
+    # Python schema verifier
+    return spark.createDataFrame(rdd, partial_schema, verifySchema=False)
+
+
+def _hive_partition_value(path: str, col: str, ddl: str):
+    """Extract a hive-layout partition value (``.../col=value/...``)
+    from a file path, decoded and cast per the relation's partition
+    schema."""
+    from urllib.parse import unquote
+
+    prefix = col + "="
+    for seg in path.split("/"):
+        if seg.startswith(prefix):
+            raw = unquote(seg[len(prefix):])
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                return None
+            if ddl in ("int", "bigint", "smallint", "tinyint"):
+                return int(raw)
+            if ddl in ("double", "float"):
+                return float(raw)
+            return raw
+    raise ValueError(f"partition column {col!r} not found in path {path!r}")
 
 
 def _pa_type(ddl: str):

@@ -45,6 +45,39 @@ def test_global_agg_bounded_fanin(spark, monkeypatch):
     assert abs(est2.collect()[0]["percentile"] - 0.5) < 0.01
 
 
+def test_native_scan_partitioned_table(spark, tmp_path_factory):
+    """Hive-partitioned parquet: the native scan synthesizes partition
+    columns from paths; counts are exact and estimates in-bound, and
+    the detector reports the partition op."""
+    from tdigest_spark.pages import write_pages
+    from tdigest_spark.spark import arrow_agg
+    from tdigest_spark.spark.tdigest_agg import tdigest_count_agg, tdigest_percentile
+
+    d = str(tmp_path_factory.mktemp("pp") / "pages")
+    write_pages(spark, d, 20_000, partitions=4)  # partitioned by lang
+    feats = spark.read.parquet(d).select(
+        "lang", F.length("text").cast("double").alias("tl")
+    )
+    native = arrow_agg._native_parquet_splits(feats, ["lang", "tl"])
+    assert native is not None
+    assert native[1]["lang"] == ("lang", ("partition", "string"))
+    counts = tdigest_count_agg(feats, "tl", 100, keys=["lang"])
+    got = {r["lang"]: r["count"] for r in counts.collect()}
+    want = {
+        r["lang"]: r["n"]
+        for r in feats.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+    est = tdigest_percentile(feats, "tl", 100, 0.5, keys=["lang"])
+    ranks = (
+        feats.join(F.broadcast(est), "lang")
+        .groupBy("lang")
+        .agg(F.avg((F.col("tl") <= F.col("percentile")).cast("double")).alias("r"))
+        .collect()
+    )
+    assert max(abs(x["r"] - 0.5) for x in ranks) < 0.03
+
+
 def test_recompact_preserves_mass_and_is_forced(spark):
     """recompact() re-merges stored centroids (union(NULL, d) idiom):
     count is preserved, estimates stay in-bound, and an uncompacted
