@@ -899,6 +899,118 @@ def q_streaming_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the oracle gate: binary payloads with
+    typed metadata, deterministic (fake-decoder) feature extraction,
+    and frame sampling — every emitted fact is exactly computable in
+    SQL from the documents table (payload = utf-8 bytes of text)."""
+    from tdigest_spark.multimodal import attach_media, decode_features, frame_sample
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    media = attach_media(docs, "payload")
+    meta_ok = media.agg(
+        F.count("*").alias("n_docs"),
+        F.every(
+            (F.col("media_meta.n_bytes") == F.length("payload"))
+            & (F.col("media_meta.width") >= 0)
+            & (F.col("media_meta.width") < 1920)
+            & (F.col("media_meta.height") < 1080)
+        ).alias("meta_ok"),
+    )
+    f1 = decode_features(media, "payload", "doc_id", dim=16)
+    f2 = decode_features(media, "payload", "doc_id", dim=16).select(
+        "doc_id", F.col("features").alias("features2")
+    )
+    feat_ok = (
+        f1.join(f2, "doc_id")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.every(F.size("features") == 16).alias("dim_ok"),
+            F.every(F.col("features") == F.col("features2")).alias(
+                "deterministic_ok"
+            ),
+        )
+    )
+    frames = frame_sample(media, "payload", "doc_id", n_frames=4)
+    n_frames = frames.agg(F.count("*").alias("n_frames"))
+    return meta_ok.crossJoin(feat_ok).crossJoin(n_frames)
+
+
+def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-windowed streaming digests (applyInPandasWithState,
+    event-time tumbling windows) replaying the events table as 3
+    micro-batches: final per-day counts must be exact and the median
+    estimate in-bound.  Watermark spans the full replay so no row is
+    late; eviction timing is covered by tests/test_scale_paths.py."""
+    import tempfile
+    import uuid
+
+    from tdigest_spark.kernel.tdigest import TDigest
+    from tdigest_spark.streaming.digest_stream import streaming_windowed_tdigest
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # watermarks require TIMESTAMP (LTZ); the testdata parquet carries
+    # TIMESTAMP_NTZ — identical instants with the session pinned to UTC
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    src = tempfile.mkdtemp(prefix="suite_win_src_")
+    for i in range(3):
+        ev.filter(F.pmod("event_id", F.lit(3)) == i).select("ts", "value").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    name = f"suite_win_{uuid.uuid4().hex[:8]}"
+    out = streaming_windowed_tdigest(
+        stream, "ts", "value", window_duration="1 day", watermark_delay="720 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="suite_win_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final = {}
+    for r in spark.sql(f"SELECT * FROM {name}").collect():
+        k = r["window_start"]
+        if k not in final or r["count"] > final[k]["count"]:
+            final[k] = {"count": r["count"], "digest": bytes(r["digest"])}
+    est_rows = [
+        (k, int(v["count"]), float(TDigest.from_bytes(v["digest"]).quantile(0.5)))
+        for k, v in sorted(final.items())
+    ]
+    est = spark.createDataFrame(est_rows, ["day_ts", "n_stream", "p50"])
+    days = ev.select(F.date_trunc("day", F.col("ts")).alias("day_ts"), "value")
+    checked = (
+        days.join(F.broadcast(est), "day_ts")
+        .groupBy("day_ts")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.first("n_stream").alias("n_stream"),
+            F.avg((F.col("value") <= F.col("p50")).cast("double")).alias("rank"),
+        )
+    )
+    return checked.select(
+        F.date_format("day_ts", "yyyy-MM-dd").alias("day"),
+        F.col("n_stream").alias("n"),
+        (
+            (F.col("n_stream") == F.col("n_exact"))
+            & (
+                F.abs(F.col("rank") - 0.5)
+                < F.greatest(F.lit(0.03), 1.5 / F.col("n_exact"))
+            )
+        ).alias("ok"),
+    ).orderBy("day")
+
+
 def q_windowed_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows (host operator §2.2): daily t-digest
     median of event values, exact counts + rank bound per window."""
@@ -1049,6 +1161,7 @@ TDIGEST_QUERIES = {
     "tdigest_scalar_functions": q_tdigest_scalar_functions,
     "sql_surface": q_sql_surface,
     "streaming_digest": q_streaming_digest,
+    "streaming_windowed": q_streaming_windowed,
     "windowed_percentile": q_windowed_percentile,
     "rollup_counts": q_rollup_counts,
     "topk_heavy_hitters": q_topk_heavy_hitters,
@@ -1149,6 +1262,10 @@ TDIGEST_ORACLES = {
         "SELECT lang, COUNT(*) AS n, TRUE AS ok FROM documents "
         "GROUP BY lang ORDER BY lang"
     ),
+    "streaming_windowed": (
+        "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,"
+        " COUNT(*) AS n, TRUE AS ok FROM events GROUP BY 1 ORDER BY 1"
+    ),
     "windowed_percentile": (
         "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,"
         " COUNT(*) AS n, TRUE AS ok FROM events GROUP BY 1 ORDER BY 1"
@@ -1189,6 +1306,7 @@ PIPELINE_QUERIES = {
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
     "fingerprint_dups": q_fingerprint_dups,
+    "multimodal_pipeline": q_multimodal_pipeline,
 }
 
 _QUALITY_SQL = (
@@ -1260,6 +1378,12 @@ PIPELINE_ORACLES = {
     "lang_id": "SELECT CAST(8 AS BIGINT) AS n, CAST(8 AS BIGINT) AS correct",
     "fingerprint_dups": (
         "SELECT COUNT(*) AS n_docs, TRUE AS normalization_stable FROM documents"
+    ),
+    "multimodal_pipeline": (
+        "SELECT COUNT(*) AS n_docs, TRUE AS meta_ok, COUNT(*) AS n_features,"
+        " TRUE AS dim_ok, TRUE AS deterministic_ok,"
+        " CAST(SUM(LEAST(4, octet_length(encode(text)))) AS BIGINT) AS n_frames"
+        " FROM documents"
     ),
 }
 
