@@ -78,17 +78,12 @@ def build_partial_digests(
         ]
     )
 
-    def build(batches):
+    def fold_batches(batches, split_id):
         import numpy as np
         import pyarrow as pa
 
-        from pyspark import TaskContext
-        from pyspark.sql.pandas.types import to_arrow_schema
-
         from tdigest_spark.spark.arrow_agg import _group_slices
 
-        out_schema = to_arrow_schema(schema)
-        split_id = TaskContext.get().partitionId()
         acc: dict[tuple, TDigest] = {}
         rows_seen: dict[tuple, int] = {}
         for batch in batches:
@@ -105,21 +100,77 @@ def build_partial_digests(
                 # add_values drops NaN/NULL, and the lineage invariant
                 # (sum n_rows == sum digest counts) must hold with them
                 rows_seen[gkey] += int(np.count_nonzero(~np.isnan(arr)))
-        out: dict[str, list] = {f.name: [] for f in schema.fields}
         for gkey, d in acc.items():
             blob = d.to_bytes() if d.count > 0 else None
+            yield gkey, blob, rows_seen[gkey], len(d.means)
+
+    def build(batches):
+        import pyarrow as pa
+
+        from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        out_schema = to_arrow_schema(schema)
+        split_id = TaskContext.get().partitionId()
+        out: dict[str, list] = {f.name: [] for f in schema.fields}
+        for gkey, blob, n_rows, n_cent in fold_batches(batches, split_id):
             for kname, kval in zip(keys, gkey):
                 out[kname].append(kval)
             out["digest"].append(blob)
             out["split_id"].append(split_id)
-            out["n_rows"].append(rows_seen[gkey])
-            out["n_centroids"].append(len(d.means))
+            out["n_rows"].append(n_rows)
+            out["n_centroids"].append(n_cent)
             out["n_bytes"].append(len(blob) if blob else 0)
         yield pa.RecordBatch.from_pydict(out, schema=out_schema)
 
-    df.select(*keys, value_col).mapInArrow(build, schema).write.mode(
-        "overwrite"
-    ).parquet(checkpoint_dir)
+    from tdigest_spark.spark.arrow_agg import (
+        NATIVE_SCAN,
+        _native_parquet_splits,
+        iter_bundle_batches,
+    )
+
+    projected = df.select(*keys, value_col)
+    needed = [*keys, value_col]
+    native = _native_parquet_splits(projected, needed) if NATIVE_SCAN else None
+    if native is not None:
+        splits, col_map, predicate, pred_part, pred_data = native
+        ops = {c: col_map[c] for c in needed}
+        sources = list(
+            dict.fromkeys(
+                [
+                    src
+                    for src, op in col_map.values()
+                    if not (op is not None and op[0] == "partition")
+                ]
+                + list(pred_data)
+            )
+        )
+
+        def scan_build(indexed_bundles):
+            for split_id, bundle in indexed_bundles:
+                batches = iter_bundle_batches(
+                    bundle, needed, ops, sources, predicate, pred_part, pred_data
+                )
+                for gkey, blob, n_rows, n_cent in fold_batches(batches, split_id):
+                    yield (
+                        *gkey,
+                        bytearray(blob) if blob is not None else None,
+                        split_id,
+                        n_rows,
+                        n_cent,
+                        len(blob) if blob else 0,
+                    )
+
+        if splits:
+            rdd = spark.sparkContext.parallelize(
+                list(enumerate(splits)), len(splits)
+            ).mapPartitions(scan_build)
+            partials_df = spark.createDataFrame(rdd, schema, verifySchema=False)
+        else:
+            partials_df = spark.createDataFrame([], schema)
+    else:
+        partials_df = projected.mapInArrow(build, schema)
+    partials_df.write.mode("overwrite").parquet(checkpoint_dir)
     return read_partials(spark, checkpoint_dir)
 
 

@@ -118,6 +118,203 @@ _NUMERIC_CASTS = {
 }
 
 
+_CMP_OPS = {
+    "EqualTo": "eq",
+    "LessThan": "lt",
+    "LessThanOrEqual": "le",
+    "GreaterThan": "gt",
+    "GreaterThanOrEqual": "ge",
+}
+_LIT_TYPES = {
+    "string", "int", "bigint", "smallint", "tinyint", "double", "float",
+    "boolean",
+}
+
+
+def _native_literal(e):
+    """Literal → python value, or ... (Ellipsis) when unsupported."""
+    ddl = e.dataType().simpleString()
+    if ddl not in _LIT_TYPES:
+        return ...
+    v = e.value()
+    if v is None:
+        return None
+    if ddl == "string":
+        return str(v)
+    if ddl in ("double", "float"):
+        return float(v)
+    if ddl == "boolean":
+        return bool(v)
+    return int(v)
+
+
+def _native_predicate(e):
+    """Translate a Catalyst predicate into a picklable AST the pyarrow
+    reader can evaluate (('col', name) / ('lit', v) leaves; and/or/not,
+    comparisons, is[not]null, in).  Returns None when any node falls
+    outside the allow-list (→ Catalyst fallback)."""
+    ecls = _jcls(e)
+    if ecls in _CMP_OPS:
+        l, r = e.left(), e.right()
+        if _jcls(l) == "AttributeReference" and _jcls(r) == "Literal":
+            v = _native_literal(r)
+            return None if v is ... else (_CMP_OPS[ecls], ("col", l.name()), ("lit", v))
+        if _jcls(l) == "Literal" and _jcls(r) == "AttributeReference":
+            v = _native_literal(l)
+            if v is ...:
+                return None
+            flipped = {"lt": "gt", "le": "ge", "gt": "lt", "ge": "le", "eq": "eq"}
+            return (flipped[_CMP_OPS[ecls]], ("col", r.name()), ("lit", v))
+        return None
+    if ecls in ("And", "Or"):
+        l = _native_predicate(e.left())
+        r = _native_predicate(e.right())
+        if l is None or r is None:
+            return None
+        return (ecls.lower(), l, r)
+    if ecls == "Not":
+        inner = _native_predicate(e.child())
+        return None if inner is None else ("not", inner)
+    if ecls == "IsNotNull":
+        c = e.child()
+        if _jcls(c) != "AttributeReference":
+            return None
+        return ("notnull", ("col", c.name()))
+    if ecls == "IsNull":
+        c = e.child()
+        if _jcls(c) != "AttributeReference":
+            return None
+        return ("isnull", ("col", c.name()))
+    if ecls == "In":
+        c = e.value()
+        if _jcls(c) != "AttributeReference":
+            return None
+        vals = []
+        lst = e.list()
+        for i in range(lst.size()):
+            item = lst.apply(i)
+            if _jcls(item) != "Literal":
+                return None
+            v = _native_literal(item)
+            if v is ...:
+                return None
+            vals.append(v)
+        return ("in", ("col", c.name()), vals)
+    if ecls == "InSet":
+        c = e.child()
+        if _jcls(c) != "AttributeReference":
+            return None
+        ddl = c.dataType().simpleString()
+        if ddl not in _LIT_TYPES:
+            return None
+        vals = []
+        it = e.hset().iterator()
+        while it.hasNext():
+            v = it.next()
+            if v is None:
+                continue
+            if ddl == "string":
+                v = str(v)
+            elif ddl in ("double", "float"):
+                v = float(v)
+            elif ddl == "boolean":
+                v = bool(v)
+            else:
+                v = int(v)
+            vals.append(v)
+        return ("in", ("col", c.name()), vals)
+    return None
+
+
+def _predicate_columns(node) -> set:
+    if node[0] == "col":
+        return {node[1]}
+    if node[0] == "lit":
+        return set()
+    if node[0] == "in":
+        return _predicate_columns(node[1])
+    return set().union(*(_predicate_columns(c) for c in node[1:] if isinstance(c, tuple)))
+
+
+def _flatten_and(node):
+    if node[0] == "and":
+        return _flatten_and(node[1]) + _flatten_and(node[2])
+    return [node]
+
+
+def _py_eval(node, env):
+    """Evaluate a predicate AST over scalar values (partition columns)
+    with SQL three-valued logic; returns True/False/None."""
+    kind = node[0]
+    if kind == "lit":
+        return node[1]
+    if kind == "col":
+        return env[node[1]]
+    if kind in ("eq", "lt", "le", "gt", "ge"):
+        l, r = _py_eval(node[1], env), _py_eval(node[2], env)
+        if l is None or r is None:
+            return None
+        import operator
+
+        return {"eq": operator.eq, "lt": operator.lt, "le": operator.le,
+                "gt": operator.gt, "ge": operator.ge}[kind](l, r)
+    if kind == "and":
+        l, r = _py_eval(node[1], env), _py_eval(node[2], env)
+        if l is False or r is False:
+            return False
+        if l is None or r is None:
+            return None
+        return True
+    if kind == "or":
+        l, r = _py_eval(node[1], env), _py_eval(node[2], env)
+        if l is True or r is True:
+            return True
+        if l is None or r is None:
+            return None
+        return False
+    if kind == "not":
+        v = _py_eval(node[1], env)
+        return None if v is None else not v
+    if kind == "isnull":
+        return _py_eval(node[1], env) is None
+    if kind == "notnull":
+        return _py_eval(node[1], env) is not None
+    if kind == "in":
+        v = _py_eval(node[1], env)
+        return None if v is None else v in node[2]
+    raise ValueError(f"bad predicate node {node!r}")
+
+
+def _pc_eval(node, columns):
+    """Evaluate a predicate AST to an Arrow boolean mask over a batch
+    (SQL kleene semantics; filter treats null as drop)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    kind = node[0]
+    if kind == "lit":
+        return pa.scalar(node[1])
+    if kind == "col":
+        return columns[node[1]]
+    if kind in ("eq", "lt", "le", "gt", "ge"):
+        fn = {"eq": pc.equal, "lt": pc.less, "le": pc.less_equal,
+              "gt": pc.greater, "ge": pc.greater_equal}[kind]
+        return fn(_pc_eval(node[1], columns), _pc_eval(node[2], columns))
+    if kind == "and":
+        return pc.and_kleene(_pc_eval(node[1], columns), _pc_eval(node[2], columns))
+    if kind == "or":
+        return pc.or_kleene(_pc_eval(node[1], columns), _pc_eval(node[2], columns))
+    if kind == "not":
+        return pc.invert(_pc_eval(node[1], columns))
+    if kind == "isnull":
+        return pc.is_null(_pc_eval(node[1], columns))
+    if kind == "notnull":
+        return pc.is_valid(_pc_eval(node[1], columns))
+    if kind == "in":
+        return pc.is_in(_pc_eval(node[1], columns), value_set=pa.array(node[2]))
+    raise ValueError(f"bad predicate node {node!r}")
+
+
 def _native_expr(e):
     """Translate a small allow-list of projected expressions to a
     (source_column, op) pair the pyarrow reader can evaluate: numeric
@@ -154,13 +351,17 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
     the files directly.  ``splits`` = [(path, rg_lo, rg_hi), ...] with
     rg_lo == rg_hi == -1 meaning "whole file"; ``col_map`` maps each
     needed output column to (source_column, cast_ddl_or_None).
-    Returns None whenever anything (filters, joins, partition columns,
-    non-file scheme, exotic expressions) requires the default
-    Catalyst-planned scan."""
+    Simple filters (comparisons / null checks / IN over columns and
+    literals, AND/OR/NOT) are pushed down: partition-column conjuncts
+    prune whole files on the driver, the rest evaluate as Arrow
+    compute masks per batch in the reader.  Returns None whenever
+    anything (joins, exotic expressions or filter shapes, non-file
+    scheme) requires the default Catalyst-planned scan."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
         kind = _jcls(plan)
         col_map: dict[str, tuple[str, str | None]] = {}
+        predicate = None
         if kind == "Project":
             pl = plan.projectList()
             for i in range(pl.size()):
@@ -176,10 +377,15 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
                 else:
                     return None
             rel = plan.child()
-        elif kind == "LogicalRelation":
+        elif kind in ("LogicalRelation", "Filter"):
             rel = plan
         else:
             return None
+        if _jcls(rel) == "Filter":
+            predicate = _native_predicate(rel.condition())
+            if predicate is None:
+                return None
+            rel = rel.child()
         if _jcls(rel) != "LogicalRelation":
             return None
         relation = rel.relation()
@@ -195,18 +401,37 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
         for i in range(pschema.size()):
             f = pschema.apply(i)
             part_cols[f.name()] = f.dataType().simpleString()
+        if not col_map:  # no Project: every relation column passes through
+            out = rel.output()
+            for i in range(out.size()):
+                name = out.apply(i).name()
+                col_map[name] = (name, None)
         for name, (src, op) in list(col_map.items()):
             if src in part_cols:
                 if op is not None or name != src:
                     return None
                 col_map[name] = (src, ("partition", part_cols[src]))
-        if kind == "LogicalRelation":
-            out = rel.output()
-            for i in range(out.size()):
-                name = out.apply(i).name()
-                col_map[name] = (name, None)
         if not set(needed) <= set(col_map):
             return None
+        # filter columns: partition-only conjuncts prune files below;
+        # the rest are evaluated per batch and their data columns must
+        # be read even when the projection drops them
+        pred_part: dict[str, str] = {}
+        pred_data: list[str] = []
+        part_conjuncts: list = []
+        batch_conjuncts: list = []
+        if predicate is not None:
+            for cj in _flatten_and(predicate):
+                cols = _predicate_columns(cj)
+                if cols and cols <= set(part_cols):
+                    part_conjuncts.append(cj)
+                else:
+                    batch_conjuncts.append(cj)
+            for c in _predicate_columns(predicate):
+                if c in part_cols:
+                    pred_part[c] = part_cols[c]
+                elif c not in pred_data:
+                    pred_data.append(c)
         files = list(relation.location().inputFiles())
         if not files:
             return None
@@ -219,6 +444,21 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
             elif "://" in f or f.startswith("hdfs:"):
                 return None  # non-local scheme: default path handles it
             paths.append(f)
+        if part_conjuncts:
+            # partition pruning: drop files whose hive path values fail
+            # any partition-only conjunct (SQL semantics: unknown drops)
+            kept = []
+            pcols = set().union(*(_predicate_columns(c) for c in part_conjuncts))
+            for p in paths:
+                env = {c: _hive_partition_value(p, c, part_cols[c]) for c in pcols}
+                if all(_py_eval(cj, env) is True for cj in part_conjuncts):
+                    kept.append(p)
+            paths = kept
+        batch_predicate = None
+        for cj in batch_conjuncts:
+            batch_predicate = (
+                cj if batch_predicate is None else ("and", batch_predicate, cj)
+            )
     except Exception:  # noqa: BLE001 — any introspection surprise: default path
         return None
 
@@ -263,7 +503,13 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
         bins[i].append((p, lo, hi))
         fill[i] += sz
     splits = [b for b in bins if b]
-    return splits, {c: col_map[c] for c in needed}
+    return (
+        splits,
+        {c: col_map[c] for c in needed},
+        batch_predicate,
+        pred_part,
+        pred_data,
+    )
 
 
 def _native_partials(
@@ -277,76 +523,55 @@ def _native_partials(
     fold,
     serialize,
     partial_schema: StructType,
+    predicate=None,
+    pred_part: dict[str, str] | None = None,
+    pred_data: Sequence[str] = (),
 ) -> DataFrame:
     """Partial phase over pyarrow-read splits: one Spark task per
-    file/row-group split, batches never touch the JVM row pipeline."""
+    file/row-group split, batches never touch the JVM row pipeline.
+    ``predicate`` (post-partition-pruning residual) is evaluated as an
+    Arrow compute mask per batch; its data columns are read alongside
+    the projected sources."""
     keys = list(keys)
     inputs = list(inputs)
+    pred_part = pred_part or {}
+    pred_data = list(pred_data)
     needed = list(dict.fromkeys([*keys, *inputs]))
     ops = {c: col_map[c] for c in needed}
     sources = list(
         dict.fromkeys(
-            src
-            for src, op in col_map.values()
-            if not (op is not None and op[0] == "partition")
+            [
+                src
+                for src, op in col_map.values()
+                if not (op is not None and op[0] == "partition")
+            ]
+            + pred_data
         )
     )
+    if not splits:
+        return spark.createDataFrame([], partial_schema)
 
     def scan_split(it):
         import pyarrow as pa  # noqa: F401 (re-import for the worker)
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
         states: dict[tuple, Any] = {}
         for bundle in it:
-            for path, lo, hi in bundle:
-                pvals = {
-                    out: _hive_partition_value(path, src, op[1])
-                    for out, (src, op) in ops.items()
-                    if op is not None and op[0] == "partition"
-                }
-                pf = pq.ParquetFile(path)
-                if lo < 0:
-                    batches = pf.iter_batches(columns=sources, batch_size=65536)
-                else:
-                    batches = pf.iter_batches(
-                        columns=sources,
-                        batch_size=65536,
-                        row_groups=list(range(lo, hi + 1)),
-                    )
-                for batch in batches:
-                    if batch.num_rows == 0:
-                        continue
-                    # rename to output names + apply projected expressions
-                    cols = []
-                    for out_name in needed:
-                        src, op = ops[out_name]
-                        if op is not None and op[0] == "partition":
-                            cols.append(
-                                pa.array([pvals[out_name]] * batch.num_rows)
-                            )
-                            continue
-                        col = batch.column(batch.schema.get_field_index(src))
-                        if op is not None:
-                            kind, ddl = op
-                            if kind == "length":
-                                col = pc.utf8_length(col)
-                            col = pc.cast(col, _pa_type(ddl))
-                        cols.append(col)
-                    nb = pa.RecordBatch.from_arrays(cols, names=needed)
-                    views = _column_views(nb, inputs)
-                    for key, rows in _group_slices(nb, keys if grouped else []):
-                        st = states.get(key)
-                        if st is None:
-                            st = states[key] = new_state()
-                        if rows is None:
-                            kwargs = {name: views[name] for name in inputs}
-                        else:
-                            take_idx = pa.array(rows)
-                            kwargs = {
-                                name: views[name].take(take_idx) for name in inputs
-                            }
-                        fold(st, **kwargs)
+            for nb in iter_bundle_batches(
+                bundle, needed, ops, sources, predicate, pred_part, pred_data
+            ):
+                views = _column_views(nb, inputs)
+                for key, rows in _group_slices(nb, keys if grouped else []):
+                    st = states.get(key)
+                    if st is None:
+                        st = states[key] = new_state()
+                    if rows is None:
+                        kwargs = {name: views[name] for name in inputs}
+                    else:
+                        take_idx = pa.array(rows)
+                        kwargs = {
+                            name: views[name].take(take_idx) for name in inputs
+                        }
+                    fold(st, **kwargs)
         for key, st in states.items():
             blob = serialize(st)
             yield (*key, bytearray(blob) if blob is not None else None)
@@ -357,6 +582,75 @@ def _native_partials(
     # rows are engine-built (one per group per split); skip the per-row
     # Python schema verifier
     return spark.createDataFrame(rdd, partial_schema, verifySchema=False)
+
+
+def iter_bundle_batches(
+    bundle,
+    needed: Sequence[str],
+    ops: dict[str, tuple[str, tuple | None]],
+    sources: Sequence[str],
+    predicate=None,
+    pred_part: dict[str, str] | None = None,
+    pred_data: Sequence[str] = (),
+    batch_size: int = 65536,
+):
+    """Executor-side pyarrow reader for one split bundle: yields
+    RecordBatches already renamed to the output columns, with projected
+    expressions (casts / length / partition constants) applied and the
+    residual predicate evaluated as an Arrow mask."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    pred_part = pred_part or {}
+    for path, lo, hi in bundle:
+        pvals = {
+            out: _hive_partition_value(path, src, op[1])
+            for out, (src, op) in ops.items()
+            if op is not None and op[0] == "partition"
+        }
+        pred_env_const = {
+            c: pa.scalar(_hive_partition_value(path, c, ddl), type=_pa_type(ddl))
+            for c, ddl in pred_part.items()
+        }
+        pf = pq.ParquetFile(path)
+        if lo < 0:
+            batches = pf.iter_batches(columns=list(sources), batch_size=batch_size)
+        else:
+            batches = pf.iter_batches(
+                columns=list(sources),
+                batch_size=batch_size,
+                row_groups=list(range(lo, hi + 1)),
+            )
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if predicate is not None:
+                env = dict(pred_env_const)
+                for c in pred_data:
+                    env[c] = batch.column(batch.schema.get_field_index(c))
+                mask = _pc_eval(predicate, env)
+                if isinstance(mask, pa.Scalar):
+                    if not mask.as_py():
+                        continue
+                else:
+                    batch = batch.filter(mask)
+                    if batch.num_rows == 0:
+                        continue
+            cols = []
+            for out_name in needed:
+                src, op = ops[out_name]
+                if op is not None and op[0] == "partition":
+                    cols.append(pa.array([pvals[out_name]] * batch.num_rows))
+                    continue
+                col = batch.column(batch.schema.get_field_index(src))
+                if op is not None:
+                    kind, ddl = op
+                    if kind == "length":
+                        col = pc.utf8_length(col)
+                    col = pc.cast(col, _pa_type(ddl))
+                cols.append(col)
+            yield pa.RecordBatch.from_arrays(cols, names=list(needed))
 
 
 def _hive_partition_value(path: str, col: str, ddl: str):
@@ -389,6 +683,8 @@ def _pa_type(ddl: str):
         "bigint": pa.int64(),
         "smallint": pa.int16(),
         "tinyint": pa.int8(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
     }
     if ddl in mapping:
         return mapping[ddl]
@@ -463,12 +759,13 @@ def sketch_groupby_arrow(
         yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
 
     if native is not None:
-        splits, col_map = native
-        n_input_parts = len(splits)
+        splits, col_map, predicate, pred_part, pred_data = native
+        n_input_parts = max(1, len(splits))
         partials = _native_partials(
             df.sparkSession, splits, col_map,
             keys if grouped else [], inputs, grouped,
             new_state, fold, serialize, partial_schema,
+            predicate=predicate, pred_part=pred_part, pred_data=pred_data,
         )
     else:
         n_input_parts = max(1, df.rdd.getNumPartitions())

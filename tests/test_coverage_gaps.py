@@ -128,7 +128,7 @@ def test_scan_reads_only_needed_columns(spark, monkeypatch):
         li, ["l_returnflag", "l_extendedprice"]
     )
     assert native is not None
-    _, col_map = native
+    col_map = native[1]
     assert set(col_map) == {"l_returnflag", "l_extendedprice"}
 
     # Catalyst path (native scan off): pruning must reach ReadSchema

@@ -78,6 +78,73 @@ def test_native_scan_partitioned_table(spark, tmp_path_factory):
     assert max(abs(x["r"] - 0.5) for x in ranks) < 0.03
 
 
+def test_native_scan_filter_pushdown(spark, tmp_path_factory):
+    """Simple predicates are pushed into the pyarrow reader: data-column
+    conjuncts become Arrow compute masks, partition-column conjuncts
+    prune whole files on the driver; counts stay exact either way and
+    unsupported predicate shapes fall back to the Catalyst path."""
+    from tdigest_spark.pages import write_pages
+    from tdigest_spark.spark import arrow_agg
+    from tdigest_spark.spark.tdigest_agg import tdigest_count_agg
+
+    li = spark.read.parquet(f"/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    filtered = li.filter(
+        (F.col("l_quantity") > 25) & F.col("l_returnflag").isin("A", "R")
+    ).select("l_returnflag", "l_extendedprice")
+    native = arrow_agg._native_parquet_splits(
+        filtered, ["l_returnflag", "l_extendedprice"]
+    )
+    assert native is not None and native[2] is not None  # residual predicate
+    assert "l_quantity" in native[4]  # filter-only column is read
+    got = {
+        r["l_returnflag"]: r["count"]
+        for r in tdigest_count_agg(
+            filtered, "l_extendedprice", 100, keys=["l_returnflag"]
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: r["n"]
+        for r in filtered.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and set(got) == {"A", "R"}
+
+    d = str(tmp_path_factory.mktemp("ppf") / "pages")
+    write_pages(spark, d, 10_000, partitions=4)
+    feats = (
+        spark.read.parquet(d)
+        .filter(F.col("lang") == "en")
+        .select("lang", F.length("text").cast("double").alias("tl"))
+    )
+    native2 = arrow_agg._native_parquet_splits(feats, ["lang", "tl"])
+    assert native2 is not None
+    assert native2[2] is None  # fully partition-pruned, no residual
+    # only the lang=en files survive pruning
+    assert all(
+        "lang=en" in path for bundle in native2[0] for (path, _, _) in bundle
+    )
+    got2 = {
+        r["lang"]: r["count"]
+        for r in tdigest_count_agg(feats, "tl", 100, keys=["lang"]).collect()
+    }
+    want2 = {
+        r["lang"]: r["n"]
+        for r in feats.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got2 == want2
+
+    # expression predicate (length(text) inside the filter) → fallback
+    mixed = (
+        spark.read.parquet(d)
+        .filter((F.col("lang") == "en") | (F.length("text") > 500))
+        .select("lang", F.length("text").cast("double").alias("tl"))
+    )
+    assert arrow_agg._native_parquet_splits(mixed, ["lang", "tl"]) is None
+
+
 def test_recompact_preserves_mass_and_is_forced(spark):
     """recompact() re-merges stored centroids (union(NULL, d) idiom):
     count is preserved, estimates stay in-bound, and an uncompacted
