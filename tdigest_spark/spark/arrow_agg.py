@@ -462,12 +462,13 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
     except Exception:  # noqa: BLE001 — any introspection surprise: default path
         return None
 
-    # atomic pieces: (path, rg_lo, rg_hi, est_bytes); -1/-1 = whole file
-    pieces: list[tuple[str, int, int, int]] = []
+    # atomic pieces: (path, row_groups_or_None, est_bytes); None = whole
+    # file (footer not read — beyond MAX_FOOTER_READS)
+    pieces: list[tuple[str, tuple | None, int]] = []
     if len(paths) > MAX_FOOTER_READS:
         for p in paths:
             try:
-                pieces.append((p, -1, -1, os.path.getsize(p)))
+                pieces.append((p, None, os.path.getsize(p)))
             except OSError:
                 return None
     else:
@@ -478,16 +479,24 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
                 md = pq.ParquetFile(p).metadata
             except Exception:  # noqa: BLE001
                 return None
-            nrg = md.num_row_groups
-            if nrg <= 1:
-                pieces.append((p, -1, -1, os.path.getsize(p)))
-                continue
-            lo, acc = 0, 0
-            for g in range(nrg):
-                acc += md.row_group(g).total_byte_size
-                if acc >= SPLIT_BYTES or g == nrg - 1:
-                    pieces.append((p, lo, g, acc))
-                    lo, acc = g + 1, 0
+            col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            acc, run = 0, []
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                # row-group statistics pruning: skip a group when a
+                # comparison/IN conjunct cannot match its min/max bounds
+                # (parquet bounds are conservative under truncation)
+                if batch_conjuncts and not all(
+                    _rg_maybe_matches(rg, cj, col_idx) for cj in batch_conjuncts
+                ):
+                    continue
+                run.append(g)
+                acc += rg.total_byte_size
+                if acc >= SPLIT_BYTES:
+                    pieces.append((p, tuple(run), acc))
+                    run, acc = [], 0
+            if run:
+                pieces.append((p, tuple(run), acc))
 
     # bundle pieces into ~2×parallelism tasks (an RDD task costs
     # ~100 ms of Python-worker handshake, so thousands of tiny tasks
@@ -498,9 +507,9 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
     target = min(target, len(pieces))
     bins: list[list] = [[] for _ in range(target)]
     fill = [0] * target
-    for p, lo, hi, sz in sorted(pieces, key=lambda x: -x[3]):
+    for p, rgs, sz in sorted(pieces, key=lambda x: -x[2]):
         i = fill.index(min(fill))  # first-fit-decreasing, deterministic
-        bins[i].append((p, lo, hi))
+        bins[i].append((p, rgs))
         fill[i] += sz
     splits = [b for b in bins if b]
     return (
@@ -584,6 +593,43 @@ def _native_partials(
     return spark.createDataFrame(rdd, partial_schema, verifySchema=False)
 
 
+def _rg_maybe_matches(rg_meta, conjunct, col_idx: dict) -> bool:
+    """Conservative row-group pruning test: False only when the
+    conjunct (normalized literal-on-the-right comparison or IN) cannot
+    match the group's parquet min/max bounds.  Bounds are spec-
+    conservative under truncation, so True-by-default everywhere else
+    keeps this safe."""
+    kind = conjunct[0]
+    if kind not in ("eq", "lt", "le", "gt", "ge", "in"):
+        return True
+    col = conjunct[1][1] if conjunct[1][0] == "col" else None
+    if col is None or col not in col_idx:
+        return True
+    st = rg_meta.column(col_idx[col]).statistics
+    if st is None or not st.has_min_max:
+        return True
+    mn, mx = st.min, st.max
+    try:
+        if kind == "in":
+            return any(
+                v is not None and mn <= v <= mx for v in conjunct[2]
+            )
+        lit = conjunct[2][1]
+        if lit is None:
+            return True
+        if kind == "eq":
+            return mn <= lit <= mx
+        if kind == "lt":
+            return mn < lit
+        if kind == "le":
+            return mn <= lit
+        if kind == "gt":
+            return mx > lit
+        return mx >= lit
+    except TypeError:
+        return True
+
+
 def iter_bundle_batches(
     bundle,
     needed: Sequence[str],
@@ -603,7 +649,7 @@ def iter_bundle_batches(
     import pyarrow.parquet as pq
 
     pred_part = pred_part or {}
-    for path, lo, hi in bundle:
+    for path, rgs in bundle:
         pvals = {
             out: _hive_partition_value(path, src, op[1])
             for out, (src, op) in ops.items()
@@ -614,13 +660,13 @@ def iter_bundle_batches(
             for c, ddl in pred_part.items()
         }
         pf = pq.ParquetFile(path)
-        if lo < 0:
+        if rgs is None:
             batches = pf.iter_batches(columns=list(sources), batch_size=batch_size)
         else:
             batches = pf.iter_batches(
                 columns=list(sources),
                 batch_size=batch_size,
-                row_groups=list(range(lo, hi + 1)),
+                row_groups=list(rgs),
             )
         for batch in batches:
             if batch.num_rows == 0:

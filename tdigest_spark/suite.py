@@ -1041,6 +1041,35 @@ def q_windowed_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def q_join_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest build over a broadcast-joined dimension (host operator
+    §2.2 joins): per-region median supplier balance.  The join output
+    is not a parquet scan, so this exercises the Catalyst-planned
+    (mapInArrow) partial path in the driver gate alongside the native
+    split reader used by the flat-scan queries."""
+    sup = _read(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    nat = _read(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    joined = sup.join(
+        F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
+    ).select("n_regionkey", "s_acctbal")
+    est = tdigest_percentile(joined, "s_acctbal", 100, 0.5, keys=["n_regionkey"])
+    checked = (
+        joined.join(F.broadcast(est), "n_regionkey")
+        .groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.abs(
+                    F.avg((F.col("s_acctbal") <= F.col("percentile")).cast("double"))
+                    - 0.5
+                )
+                < F.greatest(F.lit(0.03), 1.5 / F.count("*"))
+            ).alias("ok"),
+        )
+    )
+    return checked.orderBy("n_regionkey")
+
+
 def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS parity: digests built once at the finest grain
     re-aggregate to every coarser grain (digest mergeability == rollup
@@ -1163,6 +1192,7 @@ TDIGEST_QUERIES = {
     "streaming_digest": q_streaming_digest,
     "streaming_windowed": q_streaming_windowed,
     "windowed_percentile": q_windowed_percentile,
+    "join_percentile": q_join_percentile,
     "rollup_counts": q_rollup_counts,
     "topk_heavy_hitters": q_topk_heavy_hitters,
     "reservoir_sample": q_reservoir_sample,
@@ -1269,6 +1299,11 @@ TDIGEST_ORACLES = {
     "windowed_percentile": (
         "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,"
         " COUNT(*) AS n, TRUE AS ok FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "join_percentile": (
+        "SELECT n_regionkey, COUNT(*) AS n, TRUE AS ok FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "GROUP BY n_regionkey ORDER BY n_regionkey"
     ),
     "rollup_counts": (
         "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem "

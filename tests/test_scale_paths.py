@@ -124,7 +124,7 @@ def test_native_scan_filter_pushdown(spark, tmp_path_factory):
     assert native2[2] is None  # fully partition-pruned, no residual
     # only the lang=en files survive pruning
     assert all(
-        "lang=en" in path for bundle in native2[0] for (path, _, _) in bundle
+        "lang=en" in path for bundle in native2[0] for (path, _) in bundle
     )
     got2 = {
         r["lang"]: r["count"]
@@ -143,6 +143,38 @@ def test_native_scan_filter_pushdown(spark, tmp_path_factory):
         .select("lang", F.length("text").cast("double").alias("tl"))
     )
     assert arrow_agg._native_parquet_splits(mixed, ["lang", "tl"]) is None
+
+
+def test_native_scan_rowgroup_stats_pruning(spark, tmp_path_factory):
+    """Comparison predicates prune whole row groups from the split plan
+    via parquet min/max statistics (conservative under truncation)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.spark import arrow_agg
+    from tdigest_spark.spark.tdigest_agg import tdigest_count_agg
+
+    f = str(tmp_path_factory.mktemp("rg") / "t.parquet")
+    tbl = pa.table(
+        {
+            "k": ["a"] * 10_000,
+            "v": np.arange(10_000, dtype=np.float64),
+        }
+    )
+    pq.write_table(tbl, f, row_group_size=1_000)  # 10 sorted row groups
+    df = (
+        spark.read.parquet(f)
+        .filter(F.col("v") >= 9_000.0)
+        .select("k", "v")
+    )
+    native = arrow_agg._native_parquet_splits(df, ["k", "v"])
+    assert native is not None
+    n_rgs = sum(
+        len(rgs) for bundle in native[0] for (_, rgs) in bundle if rgs is not None
+    )
+    assert n_rgs == 1, native[0]  # 9 of 10 groups pruned by stats
+    got = tdigest_count_agg(df, "v", 100, keys=["k"]).collect()
+    assert got[0]["count"] == 1_000
 
 
 def test_recompact_preserves_mass_and_is_forced(spark):
