@@ -66,7 +66,10 @@ def build_partial_digests(
         return read_partials(spark, checkpoint_dir)
 
     keys = list(keys)
-    key_fields = [f for f in df.schema.fields if f.name in keys]
+    # key fields in KEYS order — the native scan path yields row tuples
+    # positionally, so schema order must match the key order exactly
+    by_name = {f.name: f for f in df.schema.fields}
+    key_fields = [by_name[k] for k in keys]
     schema = StructType(
         key_fields
         + [
@@ -127,6 +130,7 @@ def build_partial_digests(
         NATIVE_SCAN,
         _native_parquet_splits,
         iter_bundle_batches,
+        native_scan_ops,
     )
 
     projected = df.select(*keys, value_col)
@@ -134,17 +138,7 @@ def build_partial_digests(
     native = _native_parquet_splits(projected, needed) if NATIVE_SCAN else None
     if native is not None:
         splits, col_map, predicate, pred_part, pred_data = native
-        ops = {c: col_map[c] for c in needed}
-        sources = list(
-            dict.fromkeys(
-                [
-                    src
-                    for src, op in col_map.values()
-                    if not (op is not None and op[0] == "partition")
-                ]
-                + list(pred_data)
-            )
-        )
+        ops, sources = native_scan_ops(col_map, needed, pred_data)
 
         def scan_build(indexed_bundles):
             for split_id, bundle in indexed_bundles:

@@ -47,8 +47,13 @@ def exact_dup_pairs(
     # times costs one counter on one reducer, not one 10^8-element
     # array (the collect_list formulation OOMs on such groups)
     keepers = hashed.groupBy("__h__").agg(F.min(id_col).alias("keep_id"))
+    # null-safe equality: rows with NULL text hash to NULL and still
+    # form one duplicate group (as the former groupBy semantics did)
     return (
-        hashed.join(keepers, "__h__")
+        hashed.join(
+            keepers.withColumnRenamed("__h__", "__hk__"),
+            F.col("__h__").eqNullSafe(F.col("__hk__")),
+        )
         .filter(F.col(id_col) != F.col("keep_id"))
         .select("keep_id", F.col(id_col).alias("dup_id"))
     )

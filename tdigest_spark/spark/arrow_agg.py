@@ -56,6 +56,13 @@ SPLIT_BYTES = 64 << 20
 # one split per file (footers would serialize the driver)
 MAX_FOOTER_READS = 4096
 
+# memoized piece plans per (file list, residual conjuncts): several
+# aggregates over the same table must not re-read every footer on the
+# driver.  Parquet files are immutable by convention (Spark's own
+# FileIndex caches on the same assumption).
+_PIECE_CACHE: dict = {}
+_PIECE_CACHE_MAX = 64
+
 
 def _key_schema(df: DataFrame, keys: Sequence[str]) -> list[StructField]:
     by_name = {f.name: f for f in df.schema.fields}
@@ -196,7 +203,8 @@ def _native_predicate(e):
             if _jcls(item) != "Literal":
                 return None
             v = _native_literal(item)
-            if v is ...:
+            if v is ... or v is None:
+                # x IN (…, NULL) is NULL for non-matches — Catalyst path
                 return None
             vals.append(v)
         return ("in", ("col", c.name()), vals)
@@ -212,7 +220,7 @@ def _native_predicate(e):
         while it.hasNext():
             v = it.next()
             if v is None:
-                continue
+                return None  # NULL in the IN-list: Catalyst path
             if ddl == "string":
                 v = str(v)
             elif ddl in ("double", "float"):
@@ -311,14 +319,34 @@ def _pc_eval(node, columns):
     if kind == "notnull":
         return pc.is_valid(_pc_eval(node[1], columns))
     if kind == "in":
-        return pc.is_in(_pc_eval(node[1], columns), value_set=pa.array(node[2]))
+        v = _pc_eval(node[1], columns)
+        m = pc.is_in(v, value_set=pa.array(node[2]))
+        # SQL: NULL IN (...) is NULL (so NOT IN drops it); Arrow's
+        # is_in yields false for null inputs — restore the null
+        return pc.if_else(pc.is_valid(v), m, pa.scalar(None, pa.bool_()))
     raise ValueError(f"bad predicate node {node!r}")
+
+
+_INT_WIDTH = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+
+
+def _cast_is_safe(src_ddl: str, dst_ddl: str) -> bool:
+    """Only value-preserving casts are pushed down: pyarrow's safe cast
+    RAISES where Spark's cast truncates (double→int) or nulls out
+    (string→double, overflow), so narrowing/parsing casts must stay on
+    the Catalyst path."""
+    if dst_ddl in ("double", "float"):
+        return src_ddl in _INT_WIDTH or src_ddl in ("float", "double")
+    if dst_ddl in _INT_WIDTH:
+        return src_ddl in _INT_WIDTH and _INT_WIDTH[src_ddl] <= _INT_WIDTH[dst_ddl]
+    return False
 
 
 def _native_expr(e):
     """Translate a small allow-list of projected expressions to a
-    (source_column, op) pair the pyarrow reader can evaluate: numeric
-    casts and string length().  Anything else → None (default path)."""
+    (source_column, op) pair the pyarrow reader can evaluate:
+    value-preserving numeric casts and string length().  Anything else
+    → None (default path)."""
     ecls = _jcls(e)
     if ecls == "Cast":
         src = e.child()
@@ -326,10 +354,14 @@ def _native_expr(e):
         if ddl.split("(")[0] not in _NUMERIC_CASTS:
             return None
         if _jcls(src) == "AttributeReference":
+            if not _cast_is_safe(src.dataType().simpleString(), ddl):
+                return None
             return (src.name(), ("cast", ddl))
         inner = _native_expr(src)
         if inner is not None and inner[1] is not None and inner[1][0] == "length":
             # cast(length(s) as double) — the flagship projection
+            if not _cast_is_safe("int", ddl):
+                return None
             return (inner[0], ("length", ddl))
         return None
     if ecls == "Length":
@@ -408,9 +440,19 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
                 col_map[name] = (name, None)
         for name, (src, op) in list(col_map.items()):
             if src in part_cols:
+                # plain attributes of string/int/float/bool partitions
+                # only — date/timestamp/decimal path values would need
+                # Spark's exact parsing rules (Catalyst path handles)
                 if op is not None or name != src:
                     return None
+                if part_cols[src] not in _LIT_TYPES:
+                    return None
                 col_map[name] = (src, ("partition", part_cols[src]))
+        if predicate is not None and any(
+            c in part_cols and part_cols[c] not in _LIT_TYPES
+            for c in _predicate_columns(predicate)
+        ):
+            return None
         if not set(needed) <= set(col_map):
             return None
         # filter columns: partition-only conjuncts prune files below;
@@ -464,6 +506,17 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
 
     # atomic pieces: (path, row_groups_or_None, est_bytes); None = whole
     # file (footer not read — beyond MAX_FOOTER_READS)
+    cache_key = (
+        len(paths),
+        paths[0] if paths else "",
+        paths[-1] if paths else "",
+        hash(tuple(paths)),
+        repr(batch_conjuncts),
+    )
+    cached = _PIECE_CACHE.get(cache_key)
+    if cached is not None:
+        pieces = cached
+        return _bundle_pieces(df, pieces, col_map, needed, batch_predicate, pred_part, pred_data)
     pieces: list[tuple[str, tuple | None, int]] = []
     if len(paths) > MAX_FOOTER_READS:
         for p in paths:
@@ -498,6 +551,13 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
             if run:
                 pieces.append((p, tuple(run), acc))
 
+    if len(_PIECE_CACHE) >= _PIECE_CACHE_MAX:
+        _PIECE_CACHE.pop(next(iter(_PIECE_CACHE)))
+    _PIECE_CACHE[cache_key] = pieces
+    return _bundle_pieces(df, pieces, col_map, needed, batch_predicate, pred_part, pred_data)
+
+
+def _bundle_pieces(df, pieces, col_map, needed, batch_predicate, pred_part, pred_data):
     # bundle pieces into ~2×parallelism tasks (an RDD task costs
     # ~100 ms of Python-worker handshake, so thousands of tiny tasks
     # would dominate small jobs; 2× keeps load balance on skewed sizes)
@@ -519,6 +579,26 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
         pred_part,
         pred_data,
     )
+
+
+def native_scan_ops(col_map, needed, pred_data=()):
+    """Per-output ops and the physical parquet column list for a native
+    scan (partition-synthesized outputs are not read; predicate-only
+    columns are).  Shared by the aggregate pipeline and the
+    checkpointed builder."""
+    ops = {c: col_map[c] for c in needed}
+    sources = list(
+        dict.fromkeys(
+            [
+                src
+                for c in needed
+                for src, op in [col_map[c]]
+                if not (op is not None and op[0] == "partition")
+            ]
+            + list(pred_data)
+        )
+    )
+    return ops, sources
 
 
 def _native_partials(
@@ -546,17 +626,7 @@ def _native_partials(
     pred_part = pred_part or {}
     pred_data = list(pred_data)
     needed = list(dict.fromkeys([*keys, *inputs]))
-    ops = {c: col_map[c] for c in needed}
-    sources = list(
-        dict.fromkeys(
-            [
-                src
-                for src, op in col_map.values()
-                if not (op is not None and op[0] == "partition")
-            ]
-            + pred_data
-        )
-    )
+    ops, sources = native_scan_ops(col_map, needed, pred_data)
     if not splits:
         return spark.createDataFrame([], partial_schema)
 
@@ -694,7 +764,10 @@ def iter_bundle_batches(
                     kind, ddl = op
                     if kind == "length":
                         col = pc.utf8_length(col)
-                    col = pc.cast(col, _pa_type(ddl))
+                    # safe=False matches Spark for every allow-listed
+                    # cast (int→float rounds past 2^53 instead of
+                    # raising; widening/float-to-double are exact)
+                    col = pc.cast(col, _pa_type(ddl), safe=False)
                 cols.append(col)
             yield pa.RecordBatch.from_arrays(cols, names=list(needed))
 
@@ -715,6 +788,8 @@ def _hive_partition_value(path: str, col: str, ddl: str):
                 return int(raw)
             if ddl in ("double", "float"):
                 return float(raw)
+            if ddl == "boolean":
+                return raw.lower() == "true"
             return raw
     raise ValueError(f"partition column {col!r} not found in path {path!r}")
 

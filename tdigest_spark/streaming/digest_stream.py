@@ -145,7 +145,16 @@ def streaming_windowed_tdigest(
             # exactly while watermark < window_end, so that is the
             # earliest safe eviction point.)
             window_start = key[len(keys)]
-            window_end_ms = int(pd.Timestamp(window_start).value // 10**6) + window_ms
+            # PySpark hands TimestampType keys to Python as NAIVE
+            # datetimes in the worker machine's local timezone;
+            # astimezone() on a naive datetime attaches that local tz,
+            # giving the true epoch — interpreting it as UTC would skew
+            # the eviction point by the UTC offset on non-UTC machines
+            if hasattr(window_start, "to_pydatetime"):
+                window_start = window_start.to_pydatetime()
+            if window_start.tzinfo is None:
+                window_start = window_start.astimezone()
+            window_end_ms = int(window_start.timestamp() * 1000) + window_ms
             state.setTimeoutTimestamp(
                 max(window_end_ms + 1_000, state.getCurrentWatermarkMs() + 1_000)
             )

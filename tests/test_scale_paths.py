@@ -334,6 +334,70 @@ def test_is_complete_via_hadoop_fs(spark, tmp_path_factory):
     assert is_complete(ckpt)  # ActiveSession fallback resolves too
 
 
+def test_checkpoint_keys_out_of_schema_order(spark, tmp_path_factory):
+    """Native-path checkpoint rows are positional: keys requested in a
+    different order than the DataFrame schema must not transpose key
+    columns (round-2 review regression)."""
+    from tdigest_spark.checkpoint import build_partial_digests
+
+    src = str(tmp_path_factory.mktemp("ko") / "t")
+    df = spark.range(1000).select(
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("source"),
+        F.concat(F.lit("l"), (F.col("id") % 3).cast("string")).alias("lang"),
+        F.col("id").cast("double").alias("v"),
+    )
+    df.write.mode("overwrite").parquet(src)
+    back = spark.read.parquet(src)
+    ckpt = str(tmp_path_factory.mktemp("ko") / "ck")
+    partials = build_partial_digests(back, ["lang", "source"], "v", 100, ckpt)
+    vals = partials.select("lang", "source").distinct().collect()
+    assert all(r["lang"].startswith("l") and r["source"].startswith("s") for r in vals)
+
+
+def test_exact_dup_pairs_null_text(spark):
+    """Rows with NULL text form one duplicate group (null-safe join,
+    matching the former groupBy semantics)."""
+    from tdigest_spark.dedup import exact_dup_pairs
+
+    rows = [(1, None), (2, "x"), (3, None), (4, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["keep_id"], r["dup_id"])
+        for r in exact_dup_pairs(df, "doc_id", "text").collect()
+    }
+    assert got == {(1, 3), (1, 4)}
+
+
+def test_native_scan_rejects_unsafe_casts_and_null_in(spark, tmp_path_factory):
+    """Narrowing/parsing casts and IN-lists containing NULL stay on the
+    Catalyst path (pyarrow's cast/is_in semantics diverge from Spark
+    there); NOT IN over a nullable column matches Catalyst exactly."""
+    from tdigest_spark.spark import arrow_agg
+    from tdigest_spark.spark.tdigest_agg import tdigest_count_agg
+
+    src = str(tmp_path_factory.mktemp("uc") / "t")
+    df = spark.range(100).select(
+        F.when(F.col("id") % 10 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 3).cast("string")))
+        .alias("k"),
+        (F.col("id") + 0.5).alias("v"),
+    )
+    df.write.mode("overwrite").parquet(src)
+    back = spark.read.parquet(src)
+    # narrowing double→int cast must not be claimed by the native scan
+    narrowed = back.select("k", F.col("v").cast("int").alias("vi"))
+    assert arrow_agg._native_parquet_splits(narrowed, ["k", "vi"]) is None
+    # NOT IN over nullable k: NULL rows are dropped by SQL semantics
+    flt = back.filter(~F.col("k").isin("k0")).select("k", "v")
+    est = tdigest_count_agg(flt, "v", 100, keys=["k"])
+    got = {r["k"]: r["count"] for r in est.collect()}
+    want = {
+        r["k"]: r["n"]
+        for r in flt.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and None not in got
+
+
 def test_verify_lineage_with_nans(spark, tmp_path_factory):
     """NaN/NULL values are dropped by the digest; lineage must count
     only ingested rows so the invariant still holds."""
