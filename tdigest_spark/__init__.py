@@ -5,7 +5,8 @@ Arrow-vectorized pandas UDFs.
 
 Architecture (SURVEY.md §7): a pure-NumPy kernel per sketch under
 ``tdigest_spark.kernel``; one shared two-phase mergeable-aggregate
-pipeline (``mapInPandas`` partials → ``applyInPandas`` merge+finalize)
+pipeline (Arrow-batch partials — pyarrow split reader or ``mapInArrow``
+— shuffled as tiny binaries into a repartition-by-key merge+finalize)
 under ``tdigest_spark.spark``; training-data-pipeline operators (dedup,
 similarity, text analysis, multimodal plumbing) as sibling modules.
 """

@@ -889,7 +889,11 @@ def sketch_groupby_arrow(
             predicate=predicate, pred_part=pred_part, pred_data=pred_data,
         )
     else:
-        n_input_parts = max(1, df.rdd.getNumPartitions())
+        # .rdd forces a second physical planning of the whole input —
+        # only pay it when the count actually matters (ungrouped fan-in)
+        n_input_parts = (
+            max(1, df.rdd.getNumPartitions()) if not grouped else 1
+        )
         partials = df.mapInArrow(run_partial, partial_schema)
     if not grouped:
         # SQL semantics: an ungrouped aggregate over zero rows still

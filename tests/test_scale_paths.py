@@ -3,6 +3,7 @@ cluster scale — bounded fan-in for global aggregation, no driver-side
 materialization in pipeline operators, streaming window eviction, and
 lineage invariants under dirty data."""
 
+import datetime
 import time
 
 import numpy as np
@@ -312,7 +313,13 @@ def test_streaming_idle_window_survives_watermark_advance(
     rows = spark.sql("SELECT * FROM idle_win").collect()
     by_window = {}
     for r in rows:
-        k = r["window_start"].isoformat()
+        # collected timestamps are naive machine-local wall time; the
+        # session computes windows in UTC — normalize before keying
+        k = (
+            r["window_start"]
+            .astimezone(datetime.timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%S")
+        )
         by_window[k] = max(by_window.get(k, 0), r["count"])
     assert by_window["2024-01-01T10:00:00"] == 150, by_window
 

@@ -144,9 +144,17 @@ def test_streaming_windowed_tdigest(spark, tmp_path_factory):
     all_pdf["win"] = all_pdf["ts"].dt.floor("h")
     grouped = all_pdf.groupby("win")
     assert len(final) == grouped.ngroups == 6
+    import datetime as _dt
+
     for win, sub in grouped:
         key = win.to_pydatetime()
-        match = [v for k, v in final.items() if k == key]
+        # spark returns naive machine-local wall times; inputs were
+        # interpreted in the UTC-pinned session — normalize to compare
+        match = [
+            v
+            for k, v in final.items()
+            if k.astimezone(_dt.timezone.utc).replace(tzinfo=None) == key
+        ]
         assert match, (key, list(final))
         st = match[0]
         assert st["count"] == len(sub)
