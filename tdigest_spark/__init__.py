@@ -43,6 +43,7 @@ from tdigest_spark.spark.tdigest_agg import (  # noqa: F401
     tdigest_percentile_digests,
     tdigest_percentile_of,
     tdigest_percentile_of_digests,
+    tdigest_rollup,
     tdigest_sum,
     tdigest_sum_digests,
     tdigest_union_agg,

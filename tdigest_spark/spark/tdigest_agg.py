@@ -22,6 +22,7 @@ from collections.abc import Sequence
 
 import numpy as np
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -457,6 +458,50 @@ def tdigest_sum_digests(
     return _run_digests(
         df, keys, digest_col, compression, _fin_trimmed(low, high, False), fields, salt
     )
+
+
+def tdigest_rollup(
+    df: DataFrame,
+    value_col: str,
+    compression: int,
+    keys: Sequence[str],
+    grouping_sets: Sequence[Sequence[str]] | None = None,
+    count_col: str | None = None,
+    result_col: str = "tdigest",
+    salt: int | None = None,
+) -> DataFrame:
+    """Digests at every grain of a ROLLUP (or explicit grouping sets)
+    from ONE scan: build at the finest grain, then re-aggregate stored
+    digests per coarser set — mergeability makes grouping-set
+    composition free (SURVEY.md §2.2; the rollup_counts driver query
+    asserts count parity with GROUP BY ROLLUP).  Missing keys are
+    emitted as NULL columns, like SQL ROLLUP output."""
+    keys = list(keys)
+    if grouping_sets is None:  # ROLLUP: (k1..kn), (k1..kn-1), ..., ()
+        grouping_sets = [keys[:i] for i in range(len(keys), -1, -1)]
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    fine = tdigest(
+        df, value_col, compression, keys=keys, count_col=count_col,
+        result_col=result_col, salt=salt,
+    )
+    out = None
+    for gs in grouping_sets:
+        gs = list(gs)
+        if set(gs) - set(keys):
+            raise ValueError(f"grouping set {gs} not a subset of keys {keys}")
+        cur = (
+            fine
+            if gs == keys
+            else tdigest_union_agg(
+                fine, result_col, keys=gs, result_col=result_col, salt=salt
+            )
+        )
+        for k in keys:
+            if k not in gs:
+                cur = cur.withColumn(k, F.lit(None).cast(by_name[k]))
+        cur = cur.select(*keys, result_col)
+        out = cur if out is None else out.unionByName(cur)
+    return out
 
 
 def tdigest_count_agg(

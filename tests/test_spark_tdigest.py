@@ -10,6 +10,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_SMALL
 from tdigest_spark.kernel.tdigest import TDigest
 from tdigest_spark.spark import functions as TF
@@ -232,3 +234,49 @@ def test_nulls_and_empty_groups(spark):
     }
     assert res["a"] == pytest.approx(4.5, abs=1.0)
     assert res["b"] is None  # all-NULL group → NULL (tdigest.c:998-1005)
+
+
+def test_tdigest_rollup_grouping_sets(spark):
+    """tdigest_rollup: one scan, digests at every ROLLUP grain; counts
+    match GROUP BY ROLLUP exactly and estimates stay in-bound."""
+    from tdigest_spark.spark import functions as TF
+    from tdigest_spark.spark.tdigest_agg import tdigest_rollup
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    rolled = tdigest_rollup(
+        li, "l_extendedprice", 100, keys=["l_returnflag", "l_linestatus"]
+    )
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r["n"]
+        for r in rolled.select(
+            "l_returnflag", "l_linestatus", TF.tdigest_count("tdigest").alias("n")
+        ).collect()
+    }
+    want = {
+        (r["l_returnflag"], r["l_linestatus"]): r["n"]
+        for r in li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    # explicit grouping sets subset
+    sets = tdigest_rollup(
+        li,
+        "l_extendedprice",
+        100,
+        keys=["l_returnflag", "l_linestatus"],
+        grouping_sets=[["l_linestatus"], []],
+    )
+    per_status = {
+        r["l_linestatus"]: r["n"]
+        for r in sets.filter(F.col("l_linestatus").isNotNull())
+        .select("l_linestatus", TF.tdigest_count("tdigest").alias("n"))
+        .collect()
+    }
+    want_status = {
+        r["l_linestatus"]: r["n"]
+        for r in li.groupBy("l_linestatus").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_status == want_status
