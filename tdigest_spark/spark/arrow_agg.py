@@ -149,7 +149,10 @@ def _native_literal(e):
     if ddl == "string":
         return str(v)
     if ddl in ("double", "float"):
-        return float(v)
+        v = float(v)
+        # Spark orders NaN = NaN as true; Arrow never matches NaN —
+        # a NaN literal must stay on the Catalyst path
+        return ... if v != v else v
     if ddl == "boolean":
         return bool(v)
     return int(v)
@@ -307,7 +310,20 @@ def _pc_eval(node, columns):
     if kind in ("eq", "lt", "le", "gt", "ge"):
         fn = {"eq": pc.equal, "lt": pc.less, "le": pc.less_equal,
               "gt": pc.greater, "ge": pc.greater_equal}[kind]
-        return fn(_pc_eval(node[1], columns), _pc_eval(node[2], columns))
+        l = _pc_eval(node[1], columns)
+        r = _pc_eval(node[2], columns)
+        m = fn(l, r)
+        if kind in ("gt", "ge"):
+            # Spark's total order puts NaN above every value (NaN > lit
+            # and NaN >= lit are TRUE); Arrow comparisons yield false
+            # for NaN — patch the mask for float columns.  (The AST
+            # normalizes the literal to the right side, and NaN
+            # literals bail at translation, so only the left operand
+            # can carry NaN.)
+            t = getattr(l, "type", None)
+            if t is not None and pa.types.is_floating(t):
+                m = pc.or_kleene(m, pc.is_nan(l))
+        return m
     if kind == "and":
         return pc.and_kleene(_pc_eval(node[1], columns), _pc_eval(node[2], columns))
     if kind == "or":
@@ -378,11 +394,13 @@ def _native_expr(e):
 def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
     """Return ``(splits, col_map)`` when ``df`` is a pure column
     projection (plain attributes, or numeric casts of attributes) over
-    one unpartitioned, unfiltered parquet relation on a locally
-    reachable filesystem — the shape where the Python workers can scan
-    the files directly.  ``splits`` = [(path, rg_lo, rg_hi), ...] with
-    rg_lo == rg_hi == -1 meaning "whole file"; ``col_map`` maps each
-    needed output column to (source_column, cast_ddl_or_None).
+    one parquet relation on a locally reachable filesystem — the shape
+    where the Python workers can scan the files directly.  ``splits``
+    is a list of bundles, each a list of (path, row_groups) entries
+    where row_groups is a tuple of group indices or None for the whole
+    file; ``col_map`` maps each needed output column to
+    (source_column, op) with op None | ("cast", ddl) | ("length", ddl)
+    | ("partition", ddl).
     Simple filters (comparisons / null checks / IN over columns and
     literals, AND/OR/NOT) are pushed down: partition-column conjuncts
     prune whole files on the driver, the rest evaluate as Arrow
@@ -505,25 +523,27 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
         return None
 
     # atomic pieces: (path, row_groups_or_None, est_bytes); None = whole
-    # file (footer not read — beyond MAX_FOOTER_READS)
-    cache_key = (
-        len(paths),
-        paths[0] if paths else "",
-        paths[-1] if paths else "",
-        hash(tuple(paths)),
-        repr(batch_conjuncts),
-    )
+    # file (footer not read — beyond MAX_FOOTER_READS).  The memo key
+    # includes every file's (size, mtime): an os.stat is microseconds
+    # while a footer read is real I/O, and it makes in-place overwrites
+    # (same path, new data) invalidate the cached plan instead of
+    # serving stale row-group lists.
+    try:
+        sigs = []
+        for p in paths:
+            st = os.stat(p)
+            sigs.append((p, st.st_size, st.st_mtime_ns))
+    except OSError:
+        return None
+    cache_key = (len(sigs), hash(tuple(sigs)), repr(batch_conjuncts))
     cached = _PIECE_CACHE.get(cache_key)
     if cached is not None:
         pieces = cached
         return _bundle_pieces(df, pieces, col_map, needed, batch_predicate, pred_part, pred_data)
     pieces: list[tuple[str, tuple | None, int]] = []
     if len(paths) > MAX_FOOTER_READS:
-        for p in paths:
-            try:
-                pieces.append((p, None, os.path.getsize(p)))
-            except OSError:
-                return None
+        for p, size, _ in sigs:
+            pieces.append((p, None, size))
     else:
         import pyarrow.parquet as pq
 
@@ -675,7 +695,12 @@ def _rg_maybe_matches(rg_meta, conjunct, col_idx: dict) -> bool:
     col = conjunct[1][1] if conjunct[1][0] == "col" else None
     if col is None or col not in col_idx:
         return True
-    st = rg_meta.column(col_idx[col]).statistics
+    col_meta = rg_meta.column(col_idx[col])
+    if kind in ("gt", "ge") and col_meta.physical_type in ("FLOAT", "DOUBLE"):
+        # parquet min/max exclude NaN, but Spark's order has NaN above
+        # everything — a group of NaNs would match gt/ge yet be pruned
+        return True
+    st = col_meta.statistics
     if st is None or not st.has_min_max:
         return True
     mn, mx = st.min, st.max

@@ -479,11 +479,17 @@ def tdigest_rollup(
     keys = list(keys)
     if grouping_sets is None:  # ROLLUP: (k1..kn), (k1..kn-1), ..., ()
         grouping_sets = [keys[:i] for i in range(len(keys), -1, -1)]
+    if not grouping_sets:
+        raise ValueError("grouping_sets must contain at least one set")
     by_name = {f.name: f.dataType for f in df.schema.fields}
     fine = tdigest(
         df, value_col, compression, keys=keys, count_col=count_col,
         result_col=result_col, salt=salt,
     )
+    # materialize the (sketch-sized) finest grain so every grouping-set
+    # branch re-aggregates it instead of re-running the scan+partial
+    # stage per branch — this is what makes the rollup truly one-scan
+    fine = fine.localCheckpoint(eager=True)
     out = None
     for gs in grouping_sets:
         gs = list(gs)

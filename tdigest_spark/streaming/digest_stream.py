@@ -121,6 +121,13 @@ def streaming_windowed_tdigest(
     state_schema = StructType([StructField("digest", BinaryType(), True)])
     group_cols = [*keys, "window_start"]
     window_ms = int(pd.Timedelta(window_duration).total_seconds() * 1000)
+    # applyInPandasWithState delivers TimestampType keys as NAIVE wall
+    # time in the SESSION timezone (pyspark worker localizes with
+    # spark.sql.session.timeZone, not the OS zone) — capture it at plan
+    # time so the worker can recover the true epoch
+    session_tz = (
+        stream_df.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+    )
 
     def update(key, batches, state: GroupState):
         if state.hasTimedOut:
@@ -145,15 +152,12 @@ def streaming_windowed_tdigest(
             # exactly while watermark < window_end, so that is the
             # earliest safe eviction point.)
             window_start = key[len(keys)]
-            # PySpark hands TimestampType keys to Python as NAIVE
-            # datetimes in the worker machine's local timezone;
-            # astimezone() on a naive datetime attaches that local tz,
-            # giving the true epoch — interpreting it as UTC would skew
-            # the eviction point by the UTC offset on non-UTC machines
             if hasattr(window_start, "to_pydatetime"):
                 window_start = window_start.to_pydatetime()
             if window_start.tzinfo is None:
-                window_start = window_start.astimezone()
+                from zoneinfo import ZoneInfo
+
+                window_start = window_start.replace(tzinfo=ZoneInfo(session_tz))
             window_end_ms = int(window_start.timestamp() * 1000) + window_ms
             state.setTimeoutTimestamp(
                 max(window_end_ms + 1_000, state.getCurrentWatermarkMs() + 1_000)

@@ -160,22 +160,74 @@ def test_native_scan_rowgroup_stats_pruning(spark, tmp_path_factory):
         {
             "k": ["a"] * 10_000,
             "v": np.arange(10_000, dtype=np.float64),
+            "i": np.arange(10_000, dtype=np.int64),
         }
     )
     pq.write_table(tbl, f, row_group_size=1_000)  # 10 sorted row groups
-    df = (
-        spark.read.parquet(f)
-        .filter(F.col("v") >= 9_000.0)
-        .select("k", "v")
-    )
-    native = arrow_agg._native_parquet_splits(df, ["k", "v"])
-    assert native is not None
-    n_rgs = sum(
-        len(rgs) for bundle in native[0] for (_, rgs) in bundle if rgs is not None
-    )
-    assert n_rgs == 1, native[0]  # 9 of 10 groups pruned by stats
+
+    def kept_rgs(df):
+        native = arrow_agg._native_parquet_splits(df, ["k", "v"])
+        assert native is not None
+        return sum(
+            len(rgs)
+            for bundle in native[0]
+            for (_, rgs) in bundle
+            if rgs is not None
+        )
+
+    # float lt: NaN never matches on either engine → pruning is safe
+    df = spark.read.parquet(f).filter(F.col("v") < 1_000.0).select("k", "v")
+    assert kept_rgs(df) == 1
     got = tdigest_count_agg(df, "v", 100, keys=["k"]).collect()
     assert got[0]["count"] == 1_000
+    # int ge: prunable
+    df2 = spark.read.parquet(f).filter(F.col("i") >= 9_000).select("k", "v")
+    assert kept_rgs(df2) == 1
+    # float ge: NOT pruned (a group of NaNs would match in Spark's
+    # ordering but parquet stats exclude NaN)
+    df3 = spark.read.parquet(f).filter(F.col("v") >= 9_000.0).select("k", "v")
+    assert kept_rgs(df3) == 10
+    got3 = tdigest_count_agg(df3, "v", 100, keys=["k"]).collect()
+    assert got3[0]["count"] == 1_000
+
+
+def test_native_scan_nan_ordering_matches_spark(spark, tmp_path_factory):
+    """Spark orders NaN above every value (NaN > lit is TRUE); the
+    native mask must agree for float gt/ge, and NaN literals fall back
+    to Catalyst."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.spark import arrow_agg
+    from tdigest_spark.spark.tdigest_agg import tdigest_count_agg
+
+    f = str(tmp_path_factory.mktemp("nan") / "t.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": ["a"] * 5,
+                "x": pa.array([1.0, 20.0, float("nan"), float("nan"), 5.0]),
+                "v": pa.array([1.0] * 5),  # digest input (NaN-free)
+            }
+        ),
+        f,
+    )
+    for pred, want_n in [
+        (F.col("x") > 10.0, 3),   # 20 + two NaNs
+        (F.col("x") >= 5.0, 4),
+        (F.col("x") < 10.0, 2),
+        (F.col("x") <= 1.0, 1),
+    ]:
+        df = spark.read.parquet(f).filter(pred).select("k", "v")
+        assert arrow_agg._native_parquet_splits(df, ["k", "v"]) is not None
+        got = tdigest_count_agg(df, "v", 100, keys=["k"]).collect()
+        n = got[0]["count"] if got else 0
+        assert n == df.count() == want_n, (str(pred), n, want_n)
+    # NaN literal → Catalyst path
+    nan_pred = spark.read.parquet(f).filter(
+        F.col("x") == float("nan")
+    ).select("k", "v")
+    assert arrow_agg._native_parquet_splits(nan_pred, ["k", "v"]) is None
 
 
 def test_recompact_preserves_mass_and_is_forced(spark):
