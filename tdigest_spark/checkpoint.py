@@ -81,7 +81,7 @@ def build_partial_digests(
         ]
     )
 
-    def fold_batches(batches, split_id):
+    def fold_batches(batches):
         import numpy as np
         import pyarrow as pa
 
@@ -116,7 +116,7 @@ def build_partial_digests(
         out_schema = to_arrow_schema(schema)
         split_id = TaskContext.get().partitionId()
         out: dict[str, list] = {f.name: [] for f in schema.fields}
-        for gkey, blob, n_rows, n_cent in fold_batches(batches, split_id):
+        for gkey, blob, n_rows, n_cent in fold_batches(batches):
             for kname, kval in zip(keys, gkey):
                 out[kname].append(kval)
             out["digest"].append(blob)
@@ -145,7 +145,7 @@ def build_partial_digests(
                 batches = iter_bundle_batches(
                     bundle, needed, ops, sources, predicate, pred_part, pred_data
                 )
-                for gkey, blob, n_rows, n_cent in fold_batches(batches, split_id):
+                for gkey, blob, n_rows, n_cent in fold_batches(batches):
                     yield (
                         *gkey,
                         bytearray(blob) if blob is not None else None,

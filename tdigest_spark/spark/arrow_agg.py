@@ -138,12 +138,9 @@ _LIT_TYPES = {
 }
 
 
-def _native_literal(e):
-    """Literal → python value, or ... (Ellipsis) when unsupported."""
-    ddl = e.dataType().simpleString()
-    if ddl not in _LIT_TYPES:
-        return ...
-    v = e.value()
+def _coerce_literal(ddl: str, v):
+    """JVM literal value → python value for a supported ddl; Ellipsis
+    when it cannot be represented faithfully."""
     if v is None:
         return None
     if ddl == "string":
@@ -156,6 +153,14 @@ def _native_literal(e):
     if ddl == "boolean":
         return bool(v)
     return int(v)
+
+
+def _native_literal(e):
+    """Literal → python value, or ... (Ellipsis) when unsupported."""
+    ddl = e.dataType().simpleString()
+    if ddl not in _LIT_TYPES:
+        return ...
+    return _coerce_literal(ddl, e.value())
 
 
 def _native_predicate(e):
@@ -221,17 +226,9 @@ def _native_predicate(e):
         vals = []
         it = e.hset().iterator()
         while it.hasNext():
-            v = it.next()
-            if v is None:
-                return None  # NULL in the IN-list: Catalyst path
-            if ddl == "string":
-                v = str(v)
-            elif ddl in ("double", "float"):
-                v = float(v)
-            elif ddl == "boolean":
-                v = bool(v)
-            else:
-                v = int(v)
+            v = _coerce_literal(ddl, it.next())
+            if v is ... or v is None:
+                return None  # NULL/NaN in the IN-list: Catalyst path
             vals.append(v)
         return ("in", ("col", c.name()), vals)
     return None
@@ -253,6 +250,11 @@ def _flatten_and(node):
     return [node]
 
 
+import operator as _op
+
+_PY_CMP = {"eq": _op.eq, "lt": _op.lt, "le": _op.le, "gt": _op.gt, "ge": _op.ge}
+
+
 def _py_eval(node, env):
     """Evaluate a predicate AST over scalar values (partition columns)
     with SQL three-valued logic; returns True/False/None."""
@@ -261,14 +263,11 @@ def _py_eval(node, env):
         return node[1]
     if kind == "col":
         return env[node[1]]
-    if kind in ("eq", "lt", "le", "gt", "ge"):
+    if kind in _PY_CMP:
         l, r = _py_eval(node[1], env), _py_eval(node[2], env)
         if l is None or r is None:
             return None
-        import operator
-
-        return {"eq": operator.eq, "lt": operator.lt, "le": operator.le,
-                "gt": operator.gt, "ge": operator.ge}[kind](l, r)
+        return _PY_CMP[kind](l, r)
     if kind == "and":
         l, r = _py_eval(node[1], env), _py_eval(node[2], env)
         if l is False or r is False:
@@ -410,7 +409,7 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
         kind = _jcls(plan)
-        col_map: dict[str, tuple[str, str | None]] = {}
+        col_map: dict[str, tuple[str, tuple | None]] = {}
         predicate = None
         if kind == "Project":
             pl = plan.projectList()
@@ -624,7 +623,7 @@ def native_scan_ops(col_map, needed, pred_data=()):
 def _native_partials(
     spark,
     splits,
-    col_map: dict[str, tuple[str, str | None]],
+    col_map: dict[str, tuple[str, tuple | None]],
     keys: Sequence[str],
     inputs: Sequence[str],
     grouped: bool,

@@ -830,45 +830,63 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _replay_as_stream(spark, df, split_col: str, prefix: str):
+    """Replay a DataFrame as 3 parquet micro-batches (split on
+    pmod(split_col, 3), one file per trigger) — the streaming queries'
+    shared fixture."""
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix=prefix)
+    cols = [c for c in df.columns if c != split_col]
+    for i in range(3):
+        df.filter(F.pmod(split_col, F.lit(3)) == i).select(*cols).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+
+def _run_stream_to_memory(spark, out, prefix: str):
+    """Run a streaming DataFrame to completion into a memory sink and
+    return its collected update rows."""
+    import tempfile
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"{prefix}_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
 def q_streaming_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming stateful digest build over the documents
     table replayed as 3 micro-batches: final per-lang counts must be
     exact and the p50 estimate in-bound."""
-    import tempfile
-    import uuid
-
     from tdigest_spark.kernel.tdigest import TDigest
     from tdigest_spark.streaming.digest_stream import streaming_tdigest
 
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.col("n_chars").cast("double").alias("v")
     )
-    src = tempfile.mkdtemp(prefix="suite_stream_src_")
-    for i in range(3):
-        docs.filter(F.pmod("doc_id", F.lit(3)) == i).select("lang", "v").coalesce(
-            1
-        ).write.mode("append").parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
-    )
-    name = f"suite_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_tdigest(stream, ["lang"], "v", compression=100)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="suite_stream_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    stream = _replay_as_stream(spark, docs, "doc_id", "suite_stream_src_")
     # the memory sink holds one small update row per (lang, batch) —
     # driver-side by design; the *verification* below stays distributed
     # (broadcast join + F.avg rank check), never collecting the data
-    updates = spark.sql(f"SELECT * FROM {name}")
+    rows = _run_stream_to_memory(
+        spark, streaming_tdigest(stream, ["lang"], "v", compression=100),
+        "suite_stream",
+    )
     final = {}
-    for r in updates.collect():
+    for r in rows:
         if r["lang"] not in final or r["count"] > final[r["lang"]]["count"]:
             final[r["lang"]] = {"count": r["count"], "digest": bytes(r["digest"])}
     est_rows = [
@@ -944,9 +962,6 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches: final per-day counts must be exact and the median
     estimate in-bound.  Watermark spans the full replay so no row is
     late; eviction timing is covered by tests/test_scale_paths.py."""
-    import tempfile
-    import uuid
-
     from tdigest_spark.kernel.tdigest import TDigest
     from tdigest_spark.streaming.digest_stream import streaming_windowed_tdigest
 
@@ -956,30 +971,12 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
-    src = tempfile.mkdtemp(prefix="suite_win_src_")
-    for i in range(3):
-        ev.filter(F.pmod("event_id", F.lit(3)) == i).select("ts", "value").coalesce(
-            1
-        ).write.mode("append").parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
-    )
-    name = f"suite_win_{uuid.uuid4().hex[:8]}"
+    stream = _replay_as_stream(spark, ev, "event_id", "suite_win_src_")
     out = streaming_windowed_tdigest(
         stream, "ts", "value", window_duration="1 day", watermark_delay="720 hours"
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="suite_win_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
     final = {}
-    for r in spark.sql(f"SELECT * FROM {name}").collect():
+    for r in _run_stream_to_memory(spark, out, "suite_win"):
         k = r["window_start"]
         if k not in final or r["count"] > final[k]["count"]:
             final[k] = {"count": r["count"], "digest": bytes(r["digest"])}
