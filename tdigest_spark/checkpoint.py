@@ -124,7 +124,9 @@ def build_partial_digests(
             out["n_rows"].append(n_rows)
             out["n_centroids"].append(n_cent)
             out["n_bytes"].append(len(blob) if blob else 0)
-        yield pa.RecordBatch.from_pydict(out, schema=out_schema)
+        from tdigest_spark.spark.arrow_agg import record_batch_exact
+
+        yield record_batch_exact(out, out_schema)
 
     from tdigest_spark.spark.arrow_agg import (
         NATIVE_SCAN,

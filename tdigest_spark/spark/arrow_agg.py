@@ -64,6 +64,48 @@ _PIECE_CACHE: dict = {}
 _PIECE_CACHE_MAX = 64
 
 
+def record_batch_exact(cols: dict, schema_pa: "pa.Schema") -> "pa.RecordBatch":
+    """``RecordBatch.from_pydict`` that preserves instants for tz-aware
+    timestamp fields.
+
+    pyarrow's python-datetime conversion with an explicit
+    ``timestamp(tz=...)`` target takes the naive WALL time and ignores
+    the source tzinfo entirely (pa.array([aware_dt],
+    type=timestamp('us', tz='UTC')) re-labels the wall clock as UTC),
+    so session-localized group keys round-tripped through
+    ``to_pylist()`` would shift by the session offset once per pipeline
+    stage.  Tz-aware fields are therefore built from exact
+    epoch-microsecond integers (integer calendar arithmetic, no float
+    rounding)."""
+    import calendar
+    import datetime as _dt
+
+    arrays = []
+    for field in schema_pa:
+        vals = cols[field.name]
+        t = field.type
+        if pa.types.is_timestamp(t) and t.tz is not None:
+            micros = []
+            for v in vals:
+                if v is None:
+                    micros.append(None)
+                    continue
+                if v.tzinfo is None:
+                    # a naive value here means the instant is already
+                    # ambiguous — refuse rather than guess an offset
+                    raise ValueError(
+                        f"naive datetime for tz-aware field {field.name!r}"
+                    )
+                u = v.astimezone(_dt.timezone.utc)
+                micros.append(
+                    calendar.timegm(u.timetuple()) * 1_000_000 + u.microsecond
+                )
+            arrays.append(pa.array(micros, type=t))
+        else:
+            arrays.append(pa.array(vals, type=t))
+    return pa.RecordBatch.from_arrays(arrays, schema=schema_pa)
+
+
 def _key_schema(df: DataFrame, keys: Sequence[str]) -> list[StructField]:
     by_name = {f.name: f for f in df.schema.fields}
     return [by_name[k] for k in keys]
@@ -410,6 +452,7 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
         plan = df._jdf.queryExecution().optimizedPlan()
         kind = _jcls(plan)
         col_map: dict[str, tuple[str, tuple | None]] = {}
+        attr_types: dict[str, str] = {}
         predicate = None
         if kind == "Project":
             pl = plan.projectList()
@@ -418,6 +461,7 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
                 ecls = _jcls(e)
                 if ecls == "AttributeReference":
                     col_map[e.name()] = (e.name(), None)
+                    attr_types[e.name()] = e.dataType().simpleString()
                 elif ecls == "Alias":
                     expr = _native_expr(e.child())
                     if expr is None:
@@ -453,8 +497,9 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
         if not col_map:  # no Project: every relation column passes through
             out = rel.output()
             for i in range(out.size()):
-                name = out.apply(i).name()
-                col_map[name] = (name, None)
+                a = out.apply(i)
+                col_map[a.name()] = (a.name(), None)
+                attr_types[a.name()] = a.dataType().simpleString()
         for name, (src, op) in list(col_map.items()):
             if src in part_cols:
                 # plain attributes of string/int/float/bool partitions
@@ -471,6 +516,18 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
         ):
             return None
         if not set(needed) <= set(col_map):
+            return None
+        # timestamp data columns stay on the Catalyst path: pyarrow
+        # yields tz-naive UTC wall times and createDataFrame on the
+        # partials RDD re-interprets naive datetimes in the SESSION
+        # timezone, so a non-UTC session would shift emitted key
+        # instants relative to the Catalyst scan.  (Partition columns
+        # are already gated to _LIT_TYPES above; predicate-only
+        # timestamp columns never surface values, and comparisons
+        # against timestamp literals already bail in _native_literal.)
+        if any(
+            attr_types.get(c, "").startswith("timestamp") for c in needed
+        ):
             return None
         # filter columns: partition-only conjuncts prune files below;
         # the rest are evaluated per batch and their data columns must
@@ -534,7 +591,10 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
             sigs.append((p, st.st_size, st.st_mtime_ns))
     except OSError:
         return None
-    cache_key = (len(sigs), hash(tuple(sigs)), repr(batch_conjuncts))
+    # key on the FULL signature tuple — a 64-bit hash() collision between
+    # two different file sets would silently serve the wrong split plan;
+    # at <=64 retained entries the extra memory is trivial
+    cache_key = (tuple(sigs), repr(batch_conjuncts))
     cached = _PIECE_CACHE.get(cache_key)
     if cached is not None:
         pieces = cached
@@ -901,7 +961,7 @@ def sketch_groupby_arrow(
             for kname, kval in zip(keys, key):
                 cols[kname].append(kval)
             cols[SKETCH_COL].append(serialize(st))
-        yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
+        yield record_batch_exact(cols, out_schema)
 
     if native is not None:
         splits, col_map, predicate, pred_part, pred_data = native
@@ -1019,6 +1079,6 @@ def _merge_pass(
                     cols[kname].append(kval)
             for field, val in zip(tail_fields, tail):
                 cols[field.name].append(val)
-        yield pa.RecordBatch.from_pydict(cols, schema=schema_pa)
+        yield record_batch_exact(cols, schema_pa)
 
     return partials.repartition(*group_keys).mapInArrow(run_merge, out_schema)

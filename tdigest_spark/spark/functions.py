@@ -95,7 +95,11 @@ def tdigest_add(
 
 def tdigest_union(d1: Column, d2: Column, compact: bool = True) -> Column:
     """Merge two digests; NULL-tolerant (returns the other side);
-    tdigest_union(NULL, d) forces a compaction (README.md:246-248)."""
+    tdigest_union(NULL, d) forces a compaction per the reference
+    README's documented idiom (README.md:238-248).  This diverges
+    byte-wise from the reference C code's NULL fast path, which returns
+    the non-NULL digest unchanged without compacting
+    (tdigest.c:2543-2576); the README behavior is authoritative here."""
 
     @pandas_udf(BinaryType())
     def f(s1: pd.Series, s2: pd.Series) -> pd.Series:

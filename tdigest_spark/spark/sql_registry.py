@@ -155,9 +155,13 @@ def register_sql_functions(spark: SparkSession) -> None:
 def _union_bytes(a, b):
     """Merge two serialized digests; NULL-tolerant on either side.
 
-    ``tdigest_union(NULL, d)`` is the reference's documented
-    force-compaction idiom (README.md:246-248) and must return a
-    compacted copy of ``d``, not NULL (tdigest.c:2543-2576)."""
+    ``tdigest_union(NULL, d)`` follows the reference README's documented
+    force-compaction idiom (README.md:238-248: "force a compaction" via
+    union with NULL) and returns a compacted copy of ``d``, not NULL.
+    Note this deliberately diverges byte-wise from the reference C
+    code's NULL fast path, which returns the non-NULL digest pointer
+    unchanged without compacting (tdigest.c:2543-2576 both-NULL/one-NULL
+    branches); the README-documented behavior is the authority here."""
     if a is None and b is None:
         return None
     if a is None:

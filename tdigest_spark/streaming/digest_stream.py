@@ -32,6 +32,39 @@ from pyspark.sql.types import (
 from tdigest_spark.kernel.tdigest import TDigest
 
 
+def _resolve_session_tz(tz: str):
+    """Resolve a Spark session-timezone string to a tzinfo.
+
+    Spark accepts both region ids ('UTC', 'America/New_York') and
+    offset styles ('+08:00', 'GMT+8', 'UTC+05:30'); ZoneInfo only knows
+    the former, so offsets are parsed into fixed ``datetime.timezone``
+    values.  Resolved once at plan time so an unrecognized value fails
+    fast on the driver instead of crashing inside the state-update
+    worker."""
+    import re
+    from datetime import timedelta, timezone
+
+    m = re.fullmatch(
+        r"(?:GMT|UTC)?([+-])(\d{1,2})(?::(\d{2}))?(?::(\d{2}))?", tz.strip()
+    )
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        delta = timedelta(
+            hours=int(m.group(2)),
+            minutes=int(m.group(3) or 0),
+            seconds=int(m.group(4) or 0),
+        )
+        return timezone(sign * delta)
+    from zoneinfo import ZoneInfo
+
+    try:
+        return ZoneInfo(tz.strip())
+    except Exception as exc:
+        raise ValueError(
+            f"cannot resolve spark.sql.session.timeZone {tz!r} to a tzinfo"
+        ) from exc
+
+
 def streaming_tdigest(
     stream_df: DataFrame,
     keys: Sequence[str],
@@ -123,9 +156,10 @@ def streaming_windowed_tdigest(
     window_ms = int(pd.Timedelta(window_duration).total_seconds() * 1000)
     # applyInPandasWithState delivers TimestampType keys as NAIVE wall
     # time in the SESSION timezone (pyspark worker localizes with
-    # spark.sql.session.timeZone, not the OS zone) — capture it at plan
-    # time so the worker can recover the true epoch
-    session_tz = (
+    # spark.sql.session.timeZone, not the OS zone) — resolve it to a
+    # tzinfo at plan time (offset styles like 'GMT+8' included, failing
+    # fast on bad values) so the worker can recover the true epoch
+    session_tzinfo = _resolve_session_tz(
         stream_df.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
     )
 
@@ -155,9 +189,7 @@ def streaming_windowed_tdigest(
             if hasattr(window_start, "to_pydatetime"):
                 window_start = window_start.to_pydatetime()
             if window_start.tzinfo is None:
-                from zoneinfo import ZoneInfo
-
-                window_start = window_start.replace(tzinfo=ZoneInfo(session_tz))
+                window_start = window_start.replace(tzinfo=session_tzinfo)
             window_end_ms = int(window_start.timestamp() * 1000) + window_ms
             state.setTimeoutTimestamp(
                 max(window_end_ms + 1_000, state.getCurrentWatermarkMs() + 1_000)

@@ -965,77 +965,89 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tdigest_spark.kernel.tdigest import TDigest
     from tdigest_spark.streaming.digest_stream import streaming_windowed_tdigest
 
+    # scoped session-tz change: day boundaries must be UTC for the
+    # DuckDB oracle; restore the caller's setting afterwards, with the
+    # result materialized (eager localCheckpoint) while UTC is active
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # watermarks require TIMESTAMP (LTZ); the testdata parquet carries
-    # TIMESTAMP_NTZ — identical instants with the session pinned to UTC
-    ev = _read(spark, sf_dir, "events").select(
-        "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
-    )
-    stream = _replay_as_stream(spark, ev, "event_id", "suite_win_src_")
-    out = streaming_windowed_tdigest(
-        stream, "ts", "value", window_duration="1 day", watermark_delay="720 hours"
-    )
-    final = {}
-    for r in _run_stream_to_memory(spark, out, "suite_win"):
-        k = r["window_start"]
-        if k not in final or r["count"] > final[k]["count"]:
-            final[k] = {"count": r["count"], "digest": bytes(r["digest"])}
-    est_rows = [
-        (k, int(v["count"]), float(TDigest.from_bytes(v["digest"]).quantile(0.5)))
-        for k, v in sorted(final.items())
-    ]
-    est = spark.createDataFrame(est_rows, ["day_ts", "n_stream", "p50"])
-    days = ev.select(F.date_trunc("day", F.col("ts")).alias("day_ts"), "value")
-    checked = (
-        days.join(F.broadcast(est), "day_ts")
-        .groupBy("day_ts")
-        .agg(
-            F.count("*").alias("n_exact"),
-            F.first("n_stream").alias("n_stream"),
-            F.avg((F.col("value") <= F.col("p50")).cast("double")).alias("rank"),
+    try:
+        # watermarks require TIMESTAMP (LTZ); the testdata parquet carries
+        # TIMESTAMP_NTZ — identical instants with the session pinned to UTC
+        ev = _read(spark, sf_dir, "events").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
         )
-    )
-    return checked.select(
-        F.date_format("day_ts", "yyyy-MM-dd").alias("day"),
-        F.col("n_stream").alias("n"),
-        (
-            (F.col("n_stream") == F.col("n_exact"))
-            & (
-                F.abs(F.col("rank") - 0.5)
-                < F.greatest(F.lit(0.03), 1.5 / F.col("n_exact"))
+        stream = _replay_as_stream(spark, ev, "event_id", "suite_win_src_")
+        out = streaming_windowed_tdigest(
+            stream, "ts", "value", window_duration="1 day", watermark_delay="720 hours"
+        )
+        final = {}
+        for r in _run_stream_to_memory(spark, out, "suite_win"):
+            k = r["window_start"]
+            if k not in final or r["count"] > final[k]["count"]:
+                final[k] = {"count": r["count"], "digest": bytes(r["digest"])}
+        est_rows = [
+            (k, int(v["count"]), float(TDigest.from_bytes(v["digest"]).quantile(0.5)))
+            for k, v in sorted(final.items())
+        ]
+        est = spark.createDataFrame(est_rows, ["day_ts", "n_stream", "p50"])
+        days = ev.select(F.date_trunc("day", F.col("ts")).alias("day_ts"), "value")
+        checked = (
+            days.join(F.broadcast(est), "day_ts")
+            .groupBy("day_ts")
+            .agg(
+                F.count("*").alias("n_exact"),
+                F.first("n_stream").alias("n_stream"),
+                F.avg((F.col("value") <= F.col("p50")).cast("double")).alias("rank"),
             )
-        ).alias("ok"),
-    ).orderBy("day")
+        )
+        return checked.select(
+            F.date_format("day_ts", "yyyy-MM-dd").alias("day"),
+            F.col("n_stream").alias("n"),
+            (
+                (F.col("n_stream") == F.col("n_exact"))
+                & (
+                    F.abs(F.col("rank") - 0.5)
+                    < F.greatest(F.lit(0.03), 1.5 / F.col("n_exact"))
+                )
+            ).alias("ok"),
+        ).orderBy("day").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
 def q_windowed_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows (host operator §2.2): daily t-digest
     median of event values, exact counts + rank bound per window."""
     # day boundaries must match the DuckDB oracle's (UTC) regardless of
-    # the driver session's timezone
+    # the driver session's timezone — scoped: materialize under UTC,
+    # then restore the caller's setting
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = _read(spark, sf_dir, "events").select(
-        F.date_trunc("day", F.col("ts")).alias("day"), "value"
-    )
-    est = tdigest_percentile(ev, "value", 100, 0.5, keys=["day"])
-    checked = (
-        ev.join(F.broadcast(est), "day")
-        .groupBy("day")
-        .agg(
-            F.count("*").alias("n"),
-            (
-                F.abs(
-                    F.avg((F.col("value") <= F.col("percentile")).cast("double")) - 0.5
-                )
-                # rank granularity is 1/n — tiny windows (sf0.001 has
-                # ~25 events/day) can't land closer than ~0.5/n to 0.5
-                < F.greatest(F.lit(0.02), 1.5 / F.count("*"))
-            ).alias("ok"),
+    try:
+        ev = _read(spark, sf_dir, "events").select(
+            F.date_trunc("day", F.col("ts")).alias("day"), "value"
         )
-    )
-    return checked.select(
-        F.date_format("day", "yyyy-MM-dd").alias("day"), "n", "ok"
-    ).orderBy("day")
+        est = tdigest_percentile(ev, "value", 100, 0.5, keys=["day"])
+        checked = (
+            ev.join(F.broadcast(est), "day")
+            .groupBy("day")
+            .agg(
+                F.count("*").alias("n"),
+                (
+                    F.abs(
+                        F.avg((F.col("value") <= F.col("percentile")).cast("double")) - 0.5
+                    )
+                    # rank granularity is 1/n — tiny windows (sf0.001 has
+                    # ~25 events/day) can't land closer than ~0.5/n to 0.5
+                    < F.greatest(F.lit(0.02), 1.5 / F.count("*"))
+                ).alias("ok"),
+            )
+        )
+        return checked.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "n", "ok"
+        ).orderBy("day").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
 def q_join_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -98,6 +98,52 @@ def test_null_group_keys_native_scan(spark, table):
     assert got == want and None in got
 
 
+def test_timestamp_group_key_falls_back_and_matches(spark, tmp_path_factory):
+    """Timestamp data columns must NOT take the native path: pyarrow
+    yields naive UTC wall times and createDataFrame re-localizes them in
+    the session timezone, which would shift key instants under a
+    non-UTC session.  The translator declines, and the (Catalyst-
+    planned) grouped counts match Spark's GROUP BY under a non-UTC
+    session timezone."""
+    path = str(tmp_path_factory.mktemp("ts_tbl") / "t.parquet")
+    base = spark.range(0, 5000).select(
+        F.timestamp_seconds(F.lit(1_700_000_000) + (F.col("id") % 4) * 86400).alias(
+            "ts"
+        ),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    base.write.mode("overwrite").parquet(path)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        tbl = spark.read.parquet(path).select("ts", "v")
+        assert arrow_agg._native_parquet_splits(tbl, ["ts", "v"]) is None
+        got = {
+            r["ts"]: r["count"]
+            for r in tdigest_count_agg(tbl, "v", 100, keys=["ts"]).collect()
+        }
+        want = {
+            r["ts"]: r["n"]
+            for r in tbl.groupBy("ts").agg(F.count("*").alias("n")).collect()
+        }
+        assert got == want and len(got) == 4
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_piece_cache_keys_on_full_signature(spark, table):
+    """The split-plan memo keys on the full file-signature tuple, not a
+    collapsible 64-bit hash (a collision would serve a wrong plan)."""
+    sel = table.select("k", "v")
+    arrow_agg._PIECE_CACHE.clear()
+    assert arrow_agg._native_parquet_splits(sel, ["k", "v"]) is not None
+    for key in arrow_agg._PIECE_CACHE:
+        sig_part = key[0]
+        assert isinstance(sig_part, tuple) and all(
+            isinstance(s, tuple) and isinstance(s[0], str) for s in sig_part
+        )
+
+
 def test_random_conjunction_grid_matches(spark, table):
     """Seeded random AND/OR trees of atomic predicates: identical
     filtered totals on both paths."""

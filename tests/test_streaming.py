@@ -162,3 +162,47 @@ def test_streaming_windowed_tdigest(spark, tmp_path_factory):
         xs = np.sort(sub["v"].to_numpy())
         rank = np.searchsorted(xs, dd.quantile(0.5), side="right") / len(xs)
         assert abs(rank - 0.5) < 0.02
+
+
+def test_resolve_session_tz_offset_styles():
+    """Spark accepts offset-style session timezones ('GMT+8', '+08:00',
+    'UTC+05:30') that ZoneInfo cannot resolve — the plan-time resolver
+    must parse them into fixed offsets, keep region ids working, and
+    fail fast (not inside a worker) on garbage."""
+    import datetime as dt
+
+    from tdigest_spark.streaming.digest_stream import _resolve_session_tz
+
+    probe = dt.datetime(2024, 1, 1)
+    assert _resolve_session_tz("GMT+8").utcoffset(probe) == dt.timedelta(hours=8)
+    assert _resolve_session_tz("+08:00").utcoffset(probe) == dt.timedelta(hours=8)
+    assert _resolve_session_tz("UTC+05:30").utcoffset(probe) == dt.timedelta(
+        hours=5, minutes=30
+    )
+    assert _resolve_session_tz("-07:00").utcoffset(probe) == dt.timedelta(hours=-7)
+    assert _resolve_session_tz("UTC").utcoffset(probe) == dt.timedelta(0)
+    assert _resolve_session_tz("America/New_York").utcoffset(
+        dt.datetime(2024, 7, 1)
+    ) == dt.timedelta(hours=-4)
+    with pytest.raises(ValueError):
+        _resolve_session_tz("Not/AZone")
+
+
+def test_suite_windowed_queries_restore_session_tz(spark):
+    """q_windowed_percentile pins the session timezone to UTC for its
+    oracle alignment but must restore the caller's value (a silently
+    mutated shared session breaks every later query)."""
+    import os
+
+    from tdigest_spark.suite import q_windowed_percentile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        res = q_windowed_percentile(spark, sf_dir)
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Tokyo"
+        rows = res.collect()
+        assert rows and all(r["ok"] for r in rows)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
