@@ -328,6 +328,69 @@ def q_tdigest_vc_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_ranks.join(pof_ok, "l_returnflag").orderBy("l_returnflag")
 
 
+def q_tdigest_vc_pof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate #7 — ``tdigest_percentile_of(value, count, accuracy,
+    hypothetical)`` with a *scalar* hypothetical value over (value,
+    count) pre-aggregated rows (value_count_api.sql:145-251): the
+    estimated relative rank of the probe must match the exact rank
+    computed from the raw rows.  l_quantity has ~50 distinct integer
+    values (~2% mass each), so tolerance is one value-mass; the probe
+    25.5 falls between values, making the exact rank unambiguous."""
+    li = _read(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    vc = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    probe = 25.5
+    est = tdigest_percentile_of(
+        vc, "l_quantity", 100, probe, keys=["l_returnflag"], count_col="cnt"
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.avg((F.col("l_quantity") < probe).cast("double")).alias("exact_rank"),
+    )
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            (F.abs(F.col("percentile_of") - F.col("exact_rank")) < 0.03).alias("ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_tdigest_vc_trimmed_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate #12 — ``tdigest_avg(value, count, accuracy, low,
+    high)`` over (value, count) pre-aggregated rows
+    (trimmed_aggregates.sql:29-89): trimmed mean of the duplicated
+    l_quantity column vs the exact count-window mean on raw rows."""
+    li = _read(spark, sf_dir, "lineitem").select("l_linestatus", "l_quantity")
+    vc = li.groupBy("l_linestatus", "l_quantity").agg(F.count("*").alias("cnt"))
+    est = tdigest_avg(
+        vc, "l_quantity", 100, 0.1, 0.9, keys=["l_linestatus"], count_col="cnt"
+    )
+    w = Window.partitionBy("l_linestatus").orderBy("l_quantity")
+    ranked = li.withColumn("rn", F.row_number().over(w) - 1).withColumn(
+        "n", F.count("*").over(Window.partitionBy("l_linestatus"))
+    )
+    exact = (
+        ranked.filter(
+            (F.col("rn") >= F.floor(F.col("n") * 0.1))
+            & (F.col("rn") < F.ceil(F.col("n") * 0.9))
+        )
+        .groupBy("l_linestatus")
+        .agg(F.avg("l_quantity").alias("exact_avg"))
+    )
+    return (
+        est.join(exact, "l_linestatus")
+        .select(
+            "l_linestatus",
+            (
+                F.abs(F.col("avg") - F.col("exact_avg")) / F.col("exact_avg") < 0.03
+            ).alias("ok"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
 def q_tdigest_digest_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Digest-input aggregates with scalar and array parameters:
     percentile array over digests (#16), percentile_of over digests,
@@ -1195,6 +1258,8 @@ TDIGEST_QUERIES = {
     "tdigest_partition_invariance": q_tdigest_partition_invariance,
     "tdigest_trimmed_sum": q_tdigest_trimmed_sum,
     "tdigest_vc_array": q_tdigest_vc_array,
+    "tdigest_vc_pof": q_tdigest_vc_pof,
+    "tdigest_vc_trimmed_avg": q_tdigest_vc_trimmed_avg,
     "tdigest_digest_inputs": q_tdigest_digest_inputs,
     "tdigest_scalar_functions": q_tdigest_scalar_functions,
     "sql_surface": q_sql_surface,
@@ -1282,6 +1347,14 @@ TDIGEST_ORACLES = {
         "SELECT l_returnflag, TRUE AS ok_q25, TRUE AS ok_q50, TRUE AS ok_q75,"
         " TRUE AS ok_h0, TRUE AS ok_h1 FROM lineitem "
         "GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "tdigest_vc_pof": (
+        "SELECT l_returnflag, COUNT(*) AS n, TRUE AS ok FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "tdigest_vc_trimmed_avg": (
+        "SELECT l_linestatus, TRUE AS ok FROM lineitem "
+        "GROUP BY l_linestatus ORDER BY l_linestatus"
     ),
     "tdigest_digest_inputs": (
         "SELECT event_type, TRUE AS ok6_h0, TRUE AS ok6_h1, TRUE AS ok16_q25,"
