@@ -128,21 +128,49 @@ def _unit_vec(vec: Column) -> Column:
 
 
 def cosine_pairs_above(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    probe_df: DataFrame | None = None,
+    max_broadcast_rows: int = 100_000,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine similarity >= threshold.
+    """Pairs (id_a < id_b) with cosine similarity >= threshold.
 
-    Exact O(n²) verifier as a *broadcast range join*: vectors are
-    L2-normalized with JVM expressions, one side is broadcast by Spark
-    (no driver ``collect()``), and the dot product is a JVM
-    ``aggregate(zip_with(...))`` — nothing leaves the executors and no
-    full-table materialization happens on the driver.  Cost is still
-    quadratic in n by definition; for 100 TB corpora restrict to
-    candidates with rp_lsh_buckets/rp_lsh_candidate_pairs first."""
+    Exact verifier as a *broadcast range join*: vectors are
+    L2-normalized with JVM expressions, the broadcast side is handled
+    by Spark (no driver ``collect()``), and the dot product is a JVM
+    ``aggregate(zip_with(...))`` — nothing leaves the executors.
+
+    ``probe_df=None`` (self-join) is O(n²) and broadcasts the FULL
+    table — a moderate-size verifier only, guarded by
+    ``max_broadcast_rows`` (the count is one cheap aggregate job; the
+    guard stops the quadratic path from being pointed at a huge table
+    silently).  The scale path passes a bounded ``probe_df`` (same
+    schema: id_col, vec_col): only the probe side is broadcast and
+    cost is O(|probe| · n) — linear in the corpus.  Pairs are still
+    emitted as id_a < id_b with id_a drawn from the probe side, so
+    probe ids should be <= every non-probe id (e.g. a ``vec_id < S``
+    sample) for full coverage of probe-involving pairs."""
     unit = df.select(
         F.col(id_col).alias("__uid__"), _unit_vec(F.col(vec_col)).alias("__uv__")
     )
-    a = unit.select(F.col("__uid__").alias("id_a"), F.col("__uv__").alias("va"))
+    if probe_df is None:
+        n = df.count()
+        if n > max_broadcast_rows:
+            raise ValueError(
+                f"cosine_pairs_above self-join on {n} rows exceeds the "
+                f"{max_broadcast_rows}-row quadratic-verifier guard; pass "
+                "a bounded probe_df (sampled queries) or route through "
+                "rp_lsh_candidate_pairs for the LSH scale path"
+            )
+        probe = unit
+    else:
+        probe = probe_df.select(
+            F.col(id_col).alias("__uid__"),
+            _unit_vec(F.col(vec_col)).alias("__uv__"),
+        )
+    a = probe.select(F.col("__uid__").alias("id_a"), F.col("__uv__").alias("va"))
     b = unit.select(F.col("__uid__").alias("id_b"), F.col("__uv__").alias("vb"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
@@ -150,7 +178,7 @@ def cosine_pairs_above(
         lambda acc, v: acc + v,
     )
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        F.broadcast(a).join(b, F.col("id_a") < F.col("id_b"))
         .filter(dot >= F.lit(float(threshold)))
         .select("id_a", "id_b")
     )

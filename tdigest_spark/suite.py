@@ -684,7 +684,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     all_docs = docs.unionByName(copies).unionByName(mutated)
     sigs = minhash_signatures(all_docs, "doc_id", "text")
-    cands = lsh_candidate_pairs(sigs, "doc_id", bands=32)
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=32, num_hashes=128)
     return cands.agg(
         F.sum(
             ((F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") < 1_000_000))
@@ -699,10 +699,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash chunk banding: identical docs (Hamming 0) all found."""
-    from tdigest_spark.dedup import simhash64, simhash_candidate_pairs
+    from tdigest_spark.dedup import simhash_candidate_pairs, simhash_fingerprints
 
     both = _docs_with_copies(spark, sf_dir)
-    sh = both.select("doc_id", simhash64(F.col("text")).alias("sh"))
+    # bulk form: JVM tokenize+hash, zero-copy Arrow vote (no per-row
+    # Python objects)
+    sh = simhash_fingerprints(both, "doc_id", "text", result_col="sh")
     # 16-bit chunks: chance chunk-collisions scale as n/65536 instead of
     # n/256, keeping the candidate join small at larger sf tiers
     cands = simhash_candidate_pairs(sh, "doc_id", "sh", n_chunks=4)
@@ -752,7 +754,15 @@ def q_cosine_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH candidates cover >= 80% of true pairs
-    (cos >= 0.4); n_true is exact and oracle-checkable."""
+    involving a bounded probe sample (cos >= 0.4); n_true is exact and
+    oracle-checkable.
+
+    The truth set is SAMPLE-based (the ``ann_ivf`` pattern): only the
+    128 lowest-id vectors are broadcast against the full corpus —
+    O(|probe|·n), never the O(n²) full-table self-join, so the recall
+    evaluation itself survives a 100× corpus.  Probe ids are the
+    global minimum ids, so every probe-involving pair normalizes to
+    id_a in the probe set."""
     from tdigest_spark.similarity import (
         cosine_pairs_above,
         rp_lsh_buckets,
@@ -760,9 +770,15 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _read(spark, sf_dir, "embeddings")
-    true_pairs = cosine_pairs_above(emb, "vec_id", "embedding", 0.4)
+    n_probe = 128
+    probe = emb.filter(F.col("vec_id") < n_probe)
+    true_pairs = cosine_pairs_above(
+        emb, "vec_id", "embedding", 0.4, probe_df=probe
+    )
     buckets = rp_lsh_buckets(emb, "vec_id", "embedding", dim=64, n_tables=16, n_bits=4)
-    cands = rp_lsh_candidate_pairs(buckets, "vec_id")
+    cands = rp_lsh_candidate_pairs(buckets, "vec_id").filter(
+        F.col("id_a") < n_probe
+    )
     hit = true_pairs.join(cands, ["id_a", "id_b"], "left_semi")
     return true_pairs.agg(F.count("*").alias("n_true")).crossJoin(
         hit.agg(F.count("*").alias("n_hit"))
@@ -1221,7 +1237,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     both = _docs_with_copies(spark, sf_dir)
     sigs = minhash_signatures(both, "doc_id", "text")
-    cands = lsh_candidate_pairs(sigs, "doc_id", bands=32)
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=32, num_hashes=128)
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("minhash").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("id_b"), F.col("minhash").alias("sig_b"))
     verified = (
@@ -1476,7 +1492,7 @@ PIPELINE_ORACLES = {
     ),
     "ann_lsh_recall": (
         "SELECT COUNT(*) AS n_true, TRUE AS recall_ok FROM embeddings a, embeddings b"
-        " WHERE a.vec_id < b.vec_id"
+        " WHERE a.vec_id < 128 AND a.vec_id < b.vec_id"
         " AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
     ),
     "ann_ivf": "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok",
