@@ -99,22 +99,29 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = bench_queries(spark, SF_DIR)
 
-    # warmup: JVM + python worker pool + parquet footer cache
-    next(iter(qs.values()))[0]()
+    # full warmup pass: JVM, python worker pool, parquet footers AND
+    # first-touch page cache for EVERY input table, so per-query
+    # timings measure steady-state query time, not file-touch order
+    # (the reference's own harness averages 10 loops after warmup —
+    # scripts/bechmark.sql:34-124)
+    for fn, _rows in qs.values():
+        fn()
 
     timings: dict[str, float] = {}
     total_rows = 0
     total_time = 0.0
     for name, (fn, rows) in qs.items():
-        t0 = time.time()
-        fn()
-        dt = time.time() - t0
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            reps.append(time.time() - t0)
+        dt = sorted(reps)[1]  # median of 3
         timings[name] = round(dt, 4)
         total_rows += rows
         total_time += dt
 
-    # headline accuracy + throughput, aligned with the BASELINE metric
-    # (relative-rank error vs exact + docs/sec sketch-build throughput)
+    # headline accuracy, aligned with the BASELINE metric
     from pyspark.sql import functions as F
 
     from tdigest_spark.spark.tdigest_agg import tdigest_percentile
@@ -122,11 +129,7 @@ def main() -> None:
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
         "l_returnflag", "l_extendedprice"
     )
-    n_rows = li.count()
-    t0 = time.time()
     est = tdigest_percentile(li, "l_extendedprice", 100, 0.95, keys=["l_returnflag"])
-    rows = est.collect()
-    build_sec = time.time() - t0
     ranks = (
         li.join(F.broadcast(est), "l_returnflag")
         .groupBy("l_returnflag")
@@ -138,7 +141,27 @@ def main() -> None:
         .collect()
     )
     max_rank_err = max(abs(r["r"] - 0.95) for r in ranks)
-    _ = rows
+
+    # flagship sketch-build throughput on a VOLUME-DOMINATED input:
+    # grouped p95 over the cached 10M-row README table (sf0.1 tables
+    # are sub-second jobs whose fixed task floor made this number
+    # see-saw across rounds); median of 3 after warmup, reproducible
+    # within ±10%
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    import readme_bench as _rb
+
+    if not os.path.exists(os.path.join(_rb.DEFAULT_DATA, "_SUCCESS")):
+        _rb.generate(_rb.DEFAULT_DATA)
+    big = spark.read.parquet(_rb.DEFAULT_DATA).select("a", "c")
+    n_rows = big.count()
+
+    def _flagship():
+        t0 = time.time()
+        tdigest_percentile(big, "c", 100, 0.95, keys=["a"]).collect()
+        return time.time() - t0
+
+    _flagship()
+    build_sec = sorted(_flagship() for _ in range(3))[1]
 
     # apples-to-apples rerun of the reference README's experiment
     # (10M rows (a int, b int, c double), grouped p95; PG: 2873.116 ms
@@ -175,6 +198,8 @@ def main() -> None:
         "rows_per_sec": int(total_rows / total_time) if total_time > 0 else None,
         "p95_rel_rank_error": round(max_rank_err, 6),
         "flagship_docs_per_sec": int(n_rows / build_sec) if build_sec else None,
+        "flagship_note": "grouped p95 build over the 10M-row README table"
+        " (volume-dominated; median of 3 after warmup)",
         "readme_10m_grouped_p95": readme,
         "scaling_efficiency_note": "see BENCH.md scaling table",
     }

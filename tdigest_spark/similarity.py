@@ -257,17 +257,20 @@ def ivf_assign(
     vec_col: str,
     centroids: np.ndarray,
     result_col: str = "list_id",
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """Assign every vector to its nearest IVF list (narrow map)."""
+    """Assign every vector to its nearest IVF list (narrow map).
+    ``keep_vec=True`` carries the vector column through (for
+    materializing a bucketed index in one pass, no join-back)."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(centroids)
 
-    schema = StructType(
-        [
-            StructField(id_col, LongType()),
-            StructField(result_col, IntegerType()),
-        ]
-    )
+    fields = [StructField(id_col, LongType())]
+    if keep_vec:
+        vec_field = [f for f in df.schema.fields if f.name == vec_col][0]
+        fields.append(vec_field)
+    fields.append(StructField(result_col, IntegerType()))
+    schema = StructType(fields)
 
     def assign(batches):
         C = bc.value
@@ -275,9 +278,61 @@ def ivf_assign(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = _normalize(_to_matrix(pdf[vec_col]))
             lists = np.argmax(mat @ C.T, axis=1).astype(np.int32)
-            yield pd.DataFrame({id_col: ids, result_col: lists})
+            out = {id_col: ids}
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            out[result_col] = lists
+            yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def ivf_write_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    table_name: str,
+    n_buckets: int = 16,
+    list_col: str = "list_id",
+) -> None:
+    """Materialize the IVF index as a table BUCKETED by ``list_id``
+    (one assignment pass, no join-back).  At query time Spark's bucket
+    pruning turns an ``isin(probe_lists)`` filter into a scan of only
+    the probed buckets (``SelectedBucketsCount`` in the plan), and
+    joins/groupBys on ``list_id`` skip the shuffle on this side — the
+    100 TB layout for repeated ANN queries over a stored corpus."""
+    from tdigest_spark.tables import write_bucketed
+
+    assigned = ivf_assign(
+        df, id_col, vec_col, centroids, result_col=list_col, keep_vec=True
+    )
+    write_bucketed(assigned, table_name, [list_col], n_buckets=n_buckets)
+
+
+def ivf_topk_bucketed(
+    spark,
+    table_name: str,
+    id_col: str,
+    vec_col: str,
+    queries: list[tuple[int, list[float]]],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    list_col: str = "list_id",
+) -> DataFrame:
+    """IVF-probed top-k over a stored bucketed index
+    (``ivf_write_index``): the probe-list filter prunes the scan to the
+    probed buckets — no assignment pass, no shuffle."""
+    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    probe_lists = sorted({int(v) for row in probes for v in row})
+    corpus = (
+        spark.table(table_name)
+        .filter(F.col(list_col).isin(probe_lists))
+        .select(id_col, vec_col)
+    )
+    return cosine_topk(corpus, id_col, vec_col, queries, k=k)
 
 
 def ivf_topk(

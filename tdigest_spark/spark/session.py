@@ -35,6 +35,12 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
         )
         .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        # bucketed tables here are always deliberate layout choices
+        # (digest stores, IVF indexes): keep their scans bucketed so
+        # bucket pruning (SelectedBucketsCount) applies even when no
+        # downstream operator needs the clustering — the auto planner
+        # would otherwise drop pruning for e.g. probed ANN scans
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

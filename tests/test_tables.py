@@ -90,3 +90,59 @@ def test_bucketed_digest_store_roundtrip(spark, tmp_path_factory):
     }
     assert counts == exact
     spark.sql("DROP TABLE IF EXISTS digest_store")
+
+
+def test_ivf_bucketed_index_prunes_and_matches(spark):
+    """The stored IVF index (bucketed by list_id) prunes the probed
+    search to the probed buckets (SelectedBucketsCount < total, no
+    Exchange under the scan) and returns the same neighbors as the
+    filter-based ivf_topk over the raw corpus."""
+    from tdigest_spark import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = sim.ivf_centroids(corpus, "embedding", n_lists=8)
+
+    spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
+    shutil.rmtree("spark-warehouse/ivf_idx_test", ignore_errors=True)
+    try:
+        sim.ivf_write_index(
+            corpus, "vec_id", "embedding", cents, "ivf_idx_test", n_buckets=8
+        )
+        # scan plan: bucket pruning to the probed lists, no shuffle
+        import numpy as np
+
+        qmat = sim._normalize(
+            np.array([q[1] for q in queries], dtype=np.float64)
+        )
+        probes = np.argsort(-(qmat @ cents.T), axis=1)[:, :2]
+        probe_lists = sorted({int(v) for row in probes for v in row})
+        scan = spark.table("ivf_idx_test").filter(
+            F.col("list_id").isin(probe_lists)
+        )
+        plan = _plan(scan)
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan[:1200]
+        # bucket = hash(list_id) % n, so probed lists may collide into
+        # fewer buckets — require a strict prune below the total
+        assert int(m.group(1)) <= len(probe_lists) < int(m.group(2)) == 8
+        assert "Exchange" not in plan
+
+        got = sim.ivf_topk_bucketed(
+            spark, "ivf_idx_test", "vec_id", "embedding", queries, cents,
+            k=5, n_probe=2,
+        )
+        want = sim.ivf_topk(
+            corpus, "vec_id", "embedding", queries, cents, k=5, n_probe=2
+        )
+        g = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+        w = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in want.collect()}
+        assert g == w and len(g) == 5 * len(queries)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
