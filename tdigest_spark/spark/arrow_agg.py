@@ -784,6 +784,33 @@ def _rg_maybe_matches(rg_meta, conjunct, col_idx: dict) -> bool:
         return True
 
 
+# target decoded bytes per reader batch: bigger batches amortize the
+# per-(group, batch) fold cost in the partial phase (one compact per
+# group per batch), measured 1.6× on the 10M-row README experiment;
+# the row count per batch is derived from each file's own row-group
+# byte stats so wide (text) tables stay at safe row counts
+_BATCH_TARGET_BYTES = 32 << 20
+_BATCH_MIN_ROWS = 65536
+_BATCH_MAX_ROWS = 1 << 20
+
+
+def _rows_for_target(md) -> int:
+    """Pick a per-batch row count for a parquet file from its first
+    row group's bytes-per-row (uncompressed)."""
+    try:
+        if md.num_row_groups == 0:
+            return _BATCH_MIN_ROWS
+        rg = md.row_group(0)
+        if rg.num_rows <= 0 or rg.total_byte_size <= 0:
+            return _BATCH_MIN_ROWS
+        per_row = max(1, rg.total_byte_size // rg.num_rows)
+        return int(
+            min(_BATCH_MAX_ROWS, max(_BATCH_MIN_ROWS, _BATCH_TARGET_BYTES // per_row))
+        )
+    except Exception:  # noqa: BLE001 — stats are advisory
+        return _BATCH_MIN_ROWS
+
+
 def iter_bundle_batches(
     bundle,
     needed: Sequence[str],
@@ -792,12 +819,14 @@ def iter_bundle_batches(
     predicate=None,
     pred_part: dict[str, str] | None = None,
     pred_data: Sequence[str] = (),
-    batch_size: int = 65536,
+    batch_size: int | None = None,
 ):
     """Executor-side pyarrow reader for one split bundle: yields
     RecordBatches already renamed to the output columns, with projected
     expressions (casts / length / partition constants) applied and the
-    residual predicate evaluated as an Arrow mask."""
+    residual predicate evaluated as an Arrow mask.  ``batch_size=None``
+    sizes batches per file from row-group byte stats
+    (~_BATCH_TARGET_BYTES decoded per batch)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -814,12 +843,13 @@ def iter_bundle_batches(
             for c, ddl in pred_part.items()
         }
         pf = pq.ParquetFile(path)
+        bs = batch_size if batch_size is not None else _rows_for_target(pf.metadata)
         if rgs is None:
-            batches = pf.iter_batches(columns=list(sources), batch_size=batch_size)
+            batches = pf.iter_batches(columns=list(sources), batch_size=bs)
         else:
             batches = pf.iter_batches(
                 columns=list(sources),
-                batch_size=batch_size,
+                batch_size=bs,
                 row_groups=list(rgs),
             )
         for batch in batches:
