@@ -95,8 +95,11 @@ def bench_queries(spark, sf_dir):
 def main() -> None:
     from tdigest_spark.spark.session import get_spark
 
+    from tdigest_spark.spark.session import warm_workers
+
     spark = get_spark("tdigest-bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    warm_workers(spark)  # pre-import worker-side modules across the pool
     qs = bench_queries(spark, SF_DIR)
 
     # full warmup pass: JVM, python worker pool, parquet footers AND

@@ -53,11 +53,12 @@ def generate(data_dir: str, cores: int = 16) -> None:
 
 
 def measure(data_dir: str, cores: int, runs: int = 3) -> dict:
-    from tdigest_spark.spark.session import get_spark
+    from tdigest_spark.spark.session import get_spark, warm_workers
     from tdigest_spark.spark.tdigest_agg import tdigest_percentile
 
     spark = get_spark("readme-bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
+    warm_workers(spark)
     t = spark.read.parquet(data_dir).select("a", "c")
 
     def run() -> float:

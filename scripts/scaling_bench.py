@@ -139,12 +139,13 @@ query including the table scan, median of 3 after warm-up:
 | engine | 1 core | 4 cores | 32 cores |
 |---|---|---|---|
 | PostgreSQL + tdigest ext (published) | 2,873 ms | 894 ms | — |
-| this repo | 2,634 ms | 1,242 ms | 877 ms |
+| this repo | 1,672 ms | 938 ms | 637 ms |
 
-Single-core, this engine is **0.92×** the reference (faster); at 4
-cores it is 1.39× (the ~0.85 s Spark job floor — task dispatch + one
-Python merge wave — dominates a 1-second job); by local[32] the whole
-job runs in the reference's 4-worker time.  Throughput-wise the kernel
+Single-core, this engine is **0.58×** the reference (1.7× faster); at
+4 cores it is **1.05×** (round-3 fixes: byte-sized reader batches fold
+more values per compact, and the 10-row ORDER BY no longer pays a
+RangePartitioning sampling job); by local[32] the whole job runs well
+inside the reference's 4-worker time.  Throughput-wise the kernel
 alone builds digests at ~38M values/s/core (~10× the reference's
 per-core rate); end-to-end the partial phase reads parquet splits
 directly with pyarrow (see arrow_agg.py native scan), so scan-side
@@ -172,12 +173,51 @@ empty value ranges — the reference's criterion shares this behavior).
 16-way merged digests stay within the c=100 band (0.25-0.8% on
 unimodal shapes).
 
+## Dedup fingerprint vectorization (scripts/bench_dedup_vec.py)
+
+Round-3 rewrite: SimHash token hashing runs JVM-side (split + xxhash64
+Catalyst expressions) with a single-unpackbits NumPy majority vote;
+MinHash's permutation fold is vectorized across docs (in-place
+multiply-add-mod on a reused scratch buffer + minimum.reduceat).
+End-to-end docs/s vs the round-2 per-token-Python baselines, 100k docs
+× 150 tokens, local[8], median of 3:
+
+| corpus | simhash r2 | simhash now | speedup | minhash r2 | minhash now |
+|---|---|---|---|---|---|
+| web-like, 500k vocab (zipf) | 34,033 | 101,610 | **3.0×** | 7,251 | 8,645 (1.19×) |
+| uniform 16M vocab (cache-hostile) | 19,897 | 75,594 | **3.8×** | — | — |
+
+The r2 baseline's per-batch token cache keeps it competitive on
+small-vocabulary fixtures (the sf documents table has ~31 distinct
+words: 1.3×); the structural win is that NO per-token interpreted
+Python remains, so throughput no longer degrades with vocabulary
+size — the uniform-vocab row is the realistic worst case for web text
+(URLs, hashes, typos).  `simhash_fingerprints` (mapInArrow, zero-copy
+list buffers) is the bulk form; the Column form shares the same vote
+kernel and emits identical fingerprints.
+
 ## Suite timings
 
 `bench.py` (sf0.1, local[32]) prints one JSON line per run; the driver
-records it as BENCH_r{{N}}.json.  Per-query times at sf0.1 are
-dominated by fixed task/Arrow setup (~0.5 s/query); the scaling table
-above is the volume-dominated measurement.
+records it as BENCH_r{{N}}.json.  Queries are measured as the median
+of 3 runs after a full warmup pass (round 3 — the reference's own
+harness averages 10 loops); `flagship_docs_per_sec` is the grouped-p95
+build rate over the 10M-row README table, volume-dominated and
+reproducible within ±10% (measured 17.5M / 18.9M rows/s across
+back-to-back runs).  Round-3 suite: total 3.78 s (r02: 6.03 s, −37%);
+the two r02 regressions recovered well below their r01 times
+(percentile_of_grouped 0.37 s vs r01 0.59; preagg_then_rollup 0.91 s
+vs r01 1.38).
+
+Two fixed-overhead sources were removed this round: the package
+namespace is lazy (PEP 562 — a fresh python worker no longer imports
+every aggregate module + pandas on its first task), and the engine's
+Arrow→NumPy conversions route through pyarrow-native fill/cast +
+zero-copy views (`kernel/arrownp.py`) instead of pyarrow's pandas
+fallback.  The remaining one-time ~0.3 s/worker import cost (pyarrow +
+pandas, which `pa.array`/`pa.scalar` pull lazily) is amortized by
+`session.warm_workers()` — on a real cluster it is per-executor
+startup cost, invisible across millions of tasks.
 """)
     print("wrote BENCH.md")
 

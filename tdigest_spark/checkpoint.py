@@ -97,7 +97,9 @@ def build_partial_digests(
                     d = acc[gkey] = TDigest(compression)
                     rows_seen[gkey] = 0
                 sliced = vcol.take(pa.array(rows)) if rows is not None else vcol
-                arr = np.asarray(sliced.to_numpy(zero_copy_only=False), dtype=np.float64)
+                from tdigest_spark.kernel.arrownp import arrow_floats
+
+                arr = arrow_floats(sliced)
                 d.add_values(arr)
                 # count only rows the digest actually ingested —
                 # add_values drops NaN/NULL, and the lineage invariant

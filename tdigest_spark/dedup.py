@@ -421,14 +421,13 @@ def simhash_fingerprints(
         for batch in batches:
             ids = batch.column(0)
             lst = batch.column(1)
+            from tdigest_spark.kernel.arrownp import arrow_bools, arrow_ints
+
             lens_arr = lst.value_lengths()  # null for null docs
-            valid_mask = lens_arr.is_valid().to_numpy(zero_copy_only=False)
-            lens = np.asarray(
-                lens_arr.fill_null(0).to_numpy(zero_copy_only=False),
-                dtype=np.int64,
-            )[valid_mask]
-            flat = lst.flatten().to_numpy(zero_copy_only=False)
-            fps = _simhash_votes_flat(np.asarray(flat, dtype=np.int64), lens)
+            valid_mask = arrow_bools(lens_arr.is_valid())
+            lens = arrow_ints(lens_arr, fill=0)[valid_mask]
+            flat = arrow_ints(lst.flatten())
+            fps = _simhash_votes_flat(flat, lens)
             out = np.zeros(batch.num_rows, dtype=np.int64)
             out[valid_mask] = fps
             fp_arr = pa.array(out, type=pa.int64(), mask=~valid_mask)

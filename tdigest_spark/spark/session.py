@@ -49,3 +49,36 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
     )
     return builder.getOrCreate()
+
+
+def warm_workers(spark: SparkSession, rounds: int = 4) -> int:
+    """Pre-import the engine's worker-side modules across the Python
+    worker pool: one job of rounds×parallelism short sleeping tasks, so
+    the scheduler spreads them over distinct workers.
+
+    A fresh pyspark worker pays ~0.3 s of one-time imports on its first
+    engine task (pyarrow ~0.08 s; pandas ~0.2 s — pa.array/pa.scalar
+    pull it lazily even on pandas-free code paths).  On a real cluster
+    that is per-executor startup cost amortized over millions of tasks;
+    in sub-second local benchmarks the pool rotates cold workers
+    through single-task jobs, so benches call this once up front.
+    Returns the number of distinct workers warmed."""
+
+    def _warm(_):
+        import os
+        import time as _t
+
+        import pyarrow  # noqa: F401
+        import pyarrow.compute  # noqa: F401
+        import pyarrow.parquet  # noqa: F401
+        import pandas  # noqa: F401
+
+        from tdigest_spark.kernel import tdigest  # noqa: F401
+        from tdigest_spark.spark import arrow_agg  # noqa: F401
+
+        _t.sleep(0.05)
+        return os.getpid()
+
+    n = spark.sparkContext.defaultParallelism * rounds
+    pids = spark.sparkContext.parallelize(range(n), n).map(_warm).collect()
+    return len(set(pids))

@@ -49,8 +49,10 @@ def _with_hash(df: DataFrame, col: str, keep: Sequence[str] = ()) -> DataFrame:
 def _hash_np(col) -> np.ndarray:
     """pyarrow int64 (nullable) → exact int64 NumPy, nulls dropped.
     Never routes int64 through float64 (which would corrupt hashes
-    above 2^53)."""
-    return col.drop_null().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    above 2^53) and never through pandas (arrownp)."""
+    from tdigest_spark.kernel.arrownp import arrow_ints
+
+    return arrow_ints(col.drop_null())
 
 
 # ----------------------------------------------------------------------
@@ -153,14 +155,11 @@ def _cm_fold(count_col):
         if count_col is None:
             st.add_hashes(_hash_np(h))
             return
-        valid = pc.is_valid(h).to_numpy(zero_copy_only=False)
-        hv = h.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        cv = (
-            cols[count_col]
-            .fill_null(0)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64, copy=False)
-        )
+        from tdigest_spark.kernel.arrownp import arrow_bools, arrow_ints
+
+        valid = arrow_bools(pc.is_valid(h))
+        hv = arrow_ints(h, fill=0)
+        cv = arrow_ints(cols[count_col], fill=0)
         st.add_hashes(hv[valid], cv[valid])
 
     return fold
@@ -285,8 +284,9 @@ def _numeric_check(df, col):
 
 def _kll_fold(value_col):
     def fold(st, **cols):
-        arr = cols[value_col].to_numpy(zero_copy_only=False)
-        st.add_values(np.asarray(arr, dtype=np.float64))
+        from tdigest_spark.kernel.arrownp import arrow_floats
+
+        st.add_values(arrow_floats(cols[value_col]))
 
     return fold
 

@@ -40,6 +40,7 @@ from tdigest_spark.kernel.tdigest import (
     generate_counts,
     merge_all,
 )
+from tdigest_spark.kernel.arrownp import arrow_floats, arrow_ints
 from tdigest_spark.spark.arrow_agg import sketch_groupby_arrow
 
 # expansion chunk bound for the (value, count) ingestion path
@@ -51,8 +52,7 @@ _EXPAND_CHUNK = 1 << 20
 # ----------------------------------------------------------------------
 def _fold_values(value_col: str):
     def fold(st: TDigest, **cols) -> None:
-        arr = cols[value_col].to_numpy(zero_copy_only=False)
-        st.add_values(np.asarray(arr, dtype=np.float64))
+        st.add_values(arrow_floats(cols[value_col]))
 
     return fold
 
@@ -67,10 +67,8 @@ def _fold_value_counts(value_col: str, count_col: str, compression: int):
     def fold(st: TDigest, **cols) -> None:
         v = cols[value_col]
         c = cols[count_col]
-        vals = np.asarray(v.to_numpy(zero_copy_only=False), dtype=np.float64)
-        cnts = np.asarray(
-            c.fill_null(1).to_numpy(zero_copy_only=False), dtype=np.int64
-        )
+        vals = arrow_floats(v)
+        cnts = arrow_ints(c, fill=1)
         ok = ~np.isnan(vals)
         vals, cnts = vals[ok], cnts[ok]
         if np.any(cnts <= 0):

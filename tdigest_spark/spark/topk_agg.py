@@ -119,8 +119,9 @@ def topk(
 # ----------------------------------------------------------------------
 def _reservoir_fold():
     def fold(st: Reservoir, **cols) -> None:
-        col = cols[_HASH_COL].drop_null()
-        st.add_hashes(col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
+        from tdigest_spark.kernel.arrownp import arrow_ints
+
+        st.add_hashes(arrow_ints(cols[_HASH_COL].drop_null()))
 
     return fold
 
