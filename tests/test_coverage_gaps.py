@@ -300,3 +300,76 @@ def test_empty_input_semantics(spark):
 
     hll_empty = hll_count_distinct(empty, "v").collect()
     assert len(hll_empty) == 1 and hll_empty[0]["approx_distinct"] == 0
+
+
+def test_arrownp_conversions_match_pandas_fallback():
+    """kernel/arrownp conversions must be value-identical to pyarrow's
+    pandas-backed to_numpy(zero_copy_only=False) on every shape the
+    folds see: nullable ints/floats, narrower types, decimals, sliced
+    arrays, empties, and bit-packed booleans."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tdigest_spark.kernel.arrownp import arrow_bools, arrow_floats, arrow_ints
+
+    # nullable int32 → int64 with fill
+    a = pa.array([1, None, 3, None, 5], type=pa.int32())
+    got = arrow_ints(a, fill=-1)
+    assert got.dtype == np.int64 and got.tolist() == [1, -1, 3, -1, 5]
+
+    # non-null int64 is exact above 2^53
+    big = [2**62 + 1, 2**53 + 1, -(2**61) - 7]
+    assert arrow_ints(pa.array(big, type=pa.int64())).tolist() == big
+
+    # nullable float64 → NaN holes, matching the pandas route
+    f = pa.array([1.5, None, float("nan"), 4.0])
+    got = arrow_floats(f)
+    want = f.to_numpy(zero_copy_only=False)
+    assert got.dtype == np.float64
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    assert np.array_equal(got[~np.isnan(got)], want[~np.isnan(want)])
+
+    # float32 / int / decimal inputs widen to float64
+    assert arrow_floats(pa.array([1.5, 2.5], type=pa.float32())).tolist() == [1.5, 2.5]
+    assert arrow_floats(pa.array([1, None], type=pa.int16())).tolist()[0] == 1.0
+    import decimal
+
+    d = pa.array([decimal.Decimal("12.34"), None], type=pa.decimal128(10, 2))
+    got = arrow_floats(d)
+    assert got[0] == 12.34 and np.isnan(got[1])
+
+    # sliced arrays keep offsets straight
+    s = pa.array([10, 20, None, 40, 50], type=pa.int64()).slice(1, 3)
+    assert arrow_ints(s, fill=0).tolist() == [20, 0, 40]
+
+    # empties
+    assert arrow_ints(pa.array([], type=pa.int64())).size == 0
+    assert arrow_floats(pa.array([], type=pa.float64())).size == 0
+
+    # booleans (bit-packed → uint8 view)
+    b = pa.array([True, False, True, True])
+    got = arrow_bools(b)
+    assert got.dtype == np.bool_ and got.tolist() == [True, False, True, True]
+
+
+def test_warm_workers_counts_pool(spark):
+    from tdigest_spark.spark.session import warm_workers
+
+    n = warm_workers(spark, rounds=2)
+    assert 1 <= n <= spark.sparkContext.defaultParallelism * 2
+
+
+def test_lazy_package_namespace():
+    """PEP 562 exports resolve and cache; unknown names raise."""
+    import importlib
+
+    import tdigest_spark
+
+    assert callable(tdigest_spark.tdigest_percentile)
+    assert "tdigest_percentile" in dir(tdigest_spark)
+    try:
+        tdigest_spark.no_such_symbol
+        raise AssertionError("expected AttributeError")
+    except AttributeError:
+        pass
+    importlib.reload(tdigest_spark)
