@@ -28,7 +28,7 @@ from tdigest_spark.dedup import (
     simhash64,
     simhash_fingerprints,
 )
-from tdigest_spark.spark.session import get_spark
+from tdigest_spark.spark.session import get_spark, warm_workers
 
 
 def _hash_token_blake2b(tok: str) -> int:
@@ -145,6 +145,7 @@ def main():
     )
     spark = get_spark("bench-dedup-vec", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    warm_workers(spark)
 
     def measure(docs):
         n = docs.count()
