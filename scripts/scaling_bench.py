@@ -178,13 +178,17 @@ unimodal shapes).
 Round-3 rewrite: SimHash token hashing runs JVM-side (split + xxhash64
 Catalyst expressions) with a single-unpackbits NumPy majority vote;
 MinHash's permutation fold is vectorized across docs (in-place
-multiply-add-mod on a reused scratch buffer + minimum.reduceat).
+multiply-add on a reused scratch buffer + minimum.reduceat) and its
+permutation family is now a_i·x + b_i mod 2^64 with odd a_i — a true
+bijection of the shingle space, statistically clean (bias +0.0004,
+RMSE at the 128-slot binomial floor) and 4.3× faster than the
+mod-Mersenne fold it replaces.
 End-to-end docs/s vs the round-2 per-token-Python baselines, 100k docs
 × 150 tokens, local[8], best of 3 on a pre-warmed worker pool:
 
 | corpus | simhash r2 | simhash now (bulk) | speedup | minhash r2 | minhash now |
 |---|---|---|---|---|---|
-| web-like, 500k vocab (zipf) | 38,710 | 95,998 | **2.5×** | 7,237 | 8,883 (1.23×) |
+| web-like, 500k vocab (zipf) | 38,710 | 95,998 | **2.5×** | 7,452 | 20,332 (**2.7×**) |
 | uniform 16M vocab (cache-hostile) | 25,569 | 107,339 | **4.2×** | — | — |
 
 The r2 baseline's per-batch token cache keeps it competitive on
