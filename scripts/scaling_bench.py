@@ -155,9 +155,9 @@ throughput is decode-bound, not exchange-bound.
 
 Same query shape at 10× the reference's published experiment:
 100,000,000 rows `(a int, c double)` grouped p95 at local[32] runs in
-**1.62 s ≈ 61.6M rows/s** (median of 3; 10M rows takes 0.88 s — the
-~0.8 s Spark job floor dominates small runs, so tenfold data costs only
-~1.8× the time).  Per-core steady-state throughput ≈ 2M rows/s, ~35×
+**1.28 s ≈ 77.9M rows/s** (median of 3; 10M rows takes 0.64 s — the
+~0.5 s Spark job floor dominates small runs, so tenfold data costs only
+~2× the time).  Per-core steady-state throughput ≈ 2.4M rows/s, ~40×
 the reference's published per-backend rate on the same workload.
 Reproduce: generate with `spark.range(1e8)` + `F.rand` as in
 `scripts/readme_bench.py` and time `tdigest_percentile(t, 'c', 100,
