@@ -188,6 +188,22 @@ def minhash_signatures(
             if t is None:
                 continue
             sh = _shingle_hashes(t, shingle_k)  # never empty
+            if sh.size >= _MINHASH_SHINGLE_BLOCK:
+                # a single huge doc would force a (CHUNK × shingles)
+                # scratch buffer of its own size — min composes, so
+                # fold its shingle chunks and reduce
+                parts = [
+                    _minhash_block([chunk], a, b, scratch)
+                    for chunk in np.array_split(
+                        sh, -(-sh.size // _MINHASH_SHINGLE_BLOCK)
+                    )
+                ]
+                out[i] = (
+                    np.minimum.reduce(
+                        [p.view(np.uint64) for p in parts]
+                    ).view(np.int64)[0]
+                )
+                continue
             block.append(sh)
             block_pos.append(i)
             block_shingles += sh.size
@@ -331,12 +347,28 @@ def _votes_block(flat: np.ndarray, lens: np.ndarray, ml: int) -> np.ndarray:
     return fp.view(np.int64)
 
 
+def _single_doc_fp(flat: np.ndarray, ln: int) -> np.int64:
+    """Fingerprint of one oversized doc by ADDITIVE chunked bit counts
+    (bounds the unpacked bit matrix at PAD_BUDGET × 64 bytes even for
+    a multi-million-token document)."""
+    votes = np.zeros(64, dtype=np.int64)
+    for j in range(0, ln, _SIMHASH_PAD_BUDGET):
+        chunk = flat[j : j + _SIMHASH_PAD_BUDGET]
+        bits = np.unpackbits(
+            chunk.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        votes += bits.sum(axis=0, dtype=np.int64)
+    fp = ((votes * 2 > ln) * _SIMHASH_WEIGHTS).sum(dtype=np.uint64)
+    return np.array([fp], dtype=np.uint64).view(np.int64)[0]
+
+
 def _simhash_votes_flat(flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Fingerprints for a whole batch given the flat token-hash array
     and per-doc counts: splits into blocks under the padded-matrix
-    budget (a single huge doc forms its own block) and votes each
-    block vectorized.  The only Python-level loop is over docs to find
-    block boundaries — integer bookkeeping, no array objects."""
+    budget (an oversized doc takes the additive chunked path) and
+    votes each block vectorized.  The only Python-level loop is over
+    docs to find block boundaries — integer bookkeeping, no array
+    objects."""
     flat = flat.astype(np.int64, copy=False).view(np.uint64)
     fps = np.empty(lens.size, dtype=np.int64)
     start_doc = 0
@@ -345,6 +377,17 @@ def _simhash_votes_flat(flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
     ml = 0
     for i in range(lens.size):
         ln = int(lens[i])
+        if ln > _SIMHASH_PAD_BUDGET:
+            # flush the open block, then vote this doc chunked
+            if i > start_doc:
+                fps[start_doc:i] = _votes_block(
+                    flat[start_tok : start_tok + ntok], lens[start_doc:i], ml
+                )
+                start_tok += ntok
+            fps[i] = _single_doc_fp(flat[start_tok : start_tok + ln], ln)
+            start_doc, start_tok = i + 1, start_tok + ln
+            ntok, ml = 0, 0
+            continue
         nm = ln if ln > ml else ml
         if i > start_doc and (i - start_doc + 1) * nm > _SIMHASH_PAD_BUDGET:
             fps[start_doc:i] = _votes_block(

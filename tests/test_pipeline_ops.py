@@ -354,3 +354,40 @@ def test_ivf_assign_partitions_corpus(emb):
     counts = assigned.groupBy("list_id").count().collect()
     assert sum(r["count"] for r in counts) == emb.count()
     assert len(counts) >= 6  # no degenerate single-list collapse
+
+
+def test_simhash_minhash_huge_doc_chunked_paths():
+    """Oversized docs take bounded-memory chunked paths that must agree
+    exactly with the block kernels (vote counts are additive; min
+    composes over shingle chunks)."""
+    import numpy as np
+
+    from tdigest_spark import dedup as dd
+
+    rng = np.random.RandomState(3)
+    # simhash: one doc bigger than the pad budget, mixed with small docs
+    big = rng.randint(-(2**62), 2**62, size=dd._SIMHASH_PAD_BUDGET + 12_345).astype(
+        np.int64
+    )
+    small = [rng.randint(-(2**62), 2**62, size=50).astype(np.int64) for _ in range(7)]
+    lens = np.array([a.size for a in [*small[:3], big, *small[3:]]], dtype=np.int64)
+    flat = np.concatenate([*small[:3], big, *small[3:]])
+    got = dd._simhash_votes_flat(flat, lens)
+    # reference: per-doc direct vote
+    want = []
+    for a in [*small[:3], big, *small[3:]]:
+        want.append(int(dd._votes_block(a.view(np.uint64), np.array([a.size]), a.size)[0]))
+    assert got.tolist() == want
+
+    # minhash: a shingle array past the block budget splits into chunks
+    a_c, b_c = dd._perm_coeffs(32)
+    sh = (rng.randint(0, 2**62, size=dd._MINHASH_SHINGLE_BLOCK + 9_999)).astype(
+        np.uint64
+    )
+    direct = dd._minhash_block([sh], a_c, b_c)
+    parts = [
+        dd._minhash_block([c], a_c, b_c)
+        for c in np.array_split(sh, -(-sh.size // dd._MINHASH_SHINGLE_BLOCK))
+    ]
+    chunked = np.minimum.reduce([p.view(np.uint64) for p in parts]).view(np.int64)
+    assert np.array_equal(direct, chunked)
