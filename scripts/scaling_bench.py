@@ -81,10 +81,18 @@ def run_level(cores: int) -> dict:
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 24_000_000
     ensure_pages(n_rows)
-    r4 = run_level(4)
-    r16 = run_level(16)
-    r8 = run_level(8)
-    r32 = run_level(32)
+    # the efficiency metric is a RATIO of two level timings, so drift
+    # between level runs (thermal / neighbor load on a shared VM) is
+    # the dominant error.  Two interleaved passes per level, keep each
+    # level's best subprocess (each subprocess already reports best of
+    # 3 in-session runs).
+    best: dict[int, dict] = {}
+    for _pass in range(2):
+        for cores in (4, 16, 8, 32):
+            r = run_level(cores)
+            if cores not in best or r["sec"] < best[cores]["sec"]:
+                best[cores] = r
+    r4, r8, r16, r32 = best[4], best[8], best[16], best[32]
     eff_4_16 = (r4["sec"] / r16["sec"]) / 4
     eff_8_32 = (r8["sec"] / r32["sec"]) / 4
     result = {
