@@ -124,7 +124,7 @@ def _minhash_block(
     """Signatures for a block of per-doc shingle-hash arrays (each
     non-empty, full 64-bit shingle hashes): the block's
     shingles are concatenated, each permutation chunk is an IN-PLACE
-    multiply-add-mod on a reused scratch buffer (perms × shingles
+    multiply-add (wrapping mod 2^64) on a reused scratch buffer (perms × shingles
     layout, so the ``np.minimum.reduceat`` runs over the contiguous
     axis), and doc minima come from one reduceat over doc offsets —
     no per-doc Python iteration."""
