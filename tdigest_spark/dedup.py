@@ -19,6 +19,8 @@ Five families, each designed around Spark's shuffle model:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -252,24 +254,55 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    buckets = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    return _bucket_pairs(
+        banded, ["band_idx", "band_hash"], id_col, max_bucket=max_bucket
+    ).select("id_a", "id_b").distinct()
+
+
+def _bucket_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    extra_cols: Sequence[str] = (),
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from bucket-membership rows via a
+    windowed size filter + streaming self-join on the bucket key.
+
+    Memory per task stays O(bucket), never O(bucket²): the round-2
+    formulation built each bucket's full pair array inside ONE row
+    (``flatten(transform(...))``) before exploding — up to
+    max_bucket²/2 structs (~800 MB at the 10 k guardrail) materialized
+    at once.  Here the join OUTPUT is still quadratic per bucket (the
+    result set itself), but it streams; both join inputs derive from
+    the same shuffled plan, so Spark's exchange reuse evaluates the
+    upstream (e.g. signature UDFs) once.  ``extra_cols`` are carried
+    through as ``<col>_a`` / ``<col>_b``."""
+    size_cond = F.col("__bs__") > 1
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) ->"
-                " transform(slice(ids, i + 2, size(ids)), y -> struct(x, y))))"
-            )
-        ).alias("p")
+        size_cond = size_cond & (F.col("__bs__") <= max_bucket)
+    sized = (
+        df.withColumn(
+            "__bs__", F.count("*").over(Window.partitionBy(*key_cols))
+        )
+        .filter(size_cond)
+        .drop("__bs__")
     )
-    return pairs.select(
-        F.col("p.x").alias("id_a"), F.col("p.y").alias("id_b")
-    ).distinct()
+    left = sized.select(
+        *key_cols,
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in extra_cols],
+    )
+    right = sized.select(
+        *key_cols,
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in extra_cols],
+    )
+    return (
+        left.join(right, list(key_cols))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop(*key_cols)
+    )
 
 
 def minhash_jaccard_estimate(sig_a: Column, sig_b: Column) -> Column:
@@ -509,27 +542,19 @@ def simhash_candidate_pairs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    buckets = (
-        chunks.groupBy("chunk_idx", "chunk_val")
-        .agg(F.sort_array(F.collect_list(F.struct(id_col, simhash_col))).alias("xs"))
-        .filter(F.size("xs") > 1)
-    )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("xs") <= max_bucket)
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(xs, (x, i) ->"
-                " transform(slice(xs, i + 2, size(xs)), y -> struct(x, y))))"
-            )
-        ).alias("p")
+    pairs = _bucket_pairs(
+        chunks,
+        ["chunk_idx", "chunk_val"],
+        id_col,
+        extra_cols=[simhash_col],
+        max_bucket=max_bucket,
     )
     return pairs.select(
-        F.col(f"p.x.{id_col}").alias("id_a"),
-        F.col(f"p.y.{id_col}").alias("id_b"),
-        hamming64(F.col(f"p.x.{simhash_col}"), F.col(f"p.y.{simhash_col}")).alias(
-            "hamming"
-        ),
+        "id_a",
+        "id_b",
+        hamming64(
+            F.col(f"{simhash_col}_a"), F.col(f"{simhash_col}_b")
+        ).alias("hamming"),
     ).distinct()
 
 

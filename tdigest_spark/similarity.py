@@ -367,24 +367,13 @@ def rp_lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate pairs = vectors sharing any (table, bucket) key.
     ``max_bucket`` drops degenerate buckets (see lsh_candidate_pairs)."""
+    from tdigest_spark.dedup import _bucket_pairs
+
     exploded = bucket_df.select(
         F.col(id_col), F.explode(F.col(bucket_col)).alias("bucket")
     )
-    grouped = (
-        exploded.groupBy("bucket")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
+    return (
+        _bucket_pairs(exploded, ["bucket"], id_col, max_bucket=max_bucket)
+        .select("id_a", "id_b")
+        .distinct()
     )
-    if max_bucket is not None:
-        grouped = grouped.filter(F.size("ids") <= max_bucket)
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, (x, i) ->"
-                " transform(slice(ids, i + 2, size(ids)), y -> struct(x, y))))"
-            )
-        ).alias("p")
-    )
-    return pairs.select(
-        F.col("p.x").alias("id_a"), F.col("p.y").alias("id_b")
-    ).distinct()
