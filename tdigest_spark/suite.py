@@ -1206,17 +1206,25 @@ def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     res2 = reservoir_sample_hashes(
         ev.repartition(13), "event_id", 100, keys=["event_type"], seed=13
     ).select("event_type", F.col("sample_hashes").alias("sample2"))
+    # membership check as an anti-join of the (tiny) exploded sample
+    # against the streaming member relation — no per-group member
+    # arrays (a collect_set of all distinct hashes per type would not
+    # survive a 100x events table)
     members = ev.select(
         "event_type", F.xxhash64("event_id").alias("h")
-    ).distinct().groupBy("event_type").agg(F.collect_set("h").alias("member_set"))
-    joined = res.join(res2, "event_type").join(members, "event_type")
+    ).distinct()
+    bad = (
+        res.select("event_type", F.explode("sample_hashes").alias("h"))
+        .join(members, ["event_type", "h"], "left_anti")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_bad"))
+    )
+    joined = res.join(res2, "event_type").join(bad, "event_type", "left")
     return joined.select(
         "event_type",
         F.col("n_seen").alias("n"),
         F.size("sample_hashes").alias("sample_size"),
-        (
-            F.size(F.array_except("sample_hashes", "member_set")) == 0
-        ).alias("all_members"),
+        F.coalesce(F.col("n_bad"), F.lit(0)).eqNullSafe(0).alias("all_members"),
         (
             F.sort_array("sample_hashes") == F.sort_array("sample2")
         ).alias("partition_invariant"),
