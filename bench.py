@@ -21,6 +21,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _run(fn):
+    """Run one query action, retrying ONCE on a transient Spark error.
+
+    The bench is recorded from a single driver invocation; a one-off
+    executor/launcher hiccup (observed once: a LazyTry failure on the
+    first post-pytest run) shouldn't zero the round.  A second
+    consecutive failure is a real bug and propagates.
+    """
+    try:
+        return fn()
+    except Exception as exc:  # noqa: BLE001 — deliberate single retry
+        print(f"bench: retrying after transient error: {exc!r}"[:300],
+              file=sys.stderr)
+        time.sleep(2.0)
+        return fn()
+
+
 def bench_queries(spark, sf_dir):
     """name -> (fn, rows_processed_fn). Each fn triggers a full action."""
     from pyspark.sql import functions as F
@@ -108,7 +125,7 @@ def main() -> None:
     # (the reference's own harness averages 10 loops after warmup —
     # scripts/bechmark.sql:34-124)
     for fn, _rows in qs.values():
-        fn()
+        _run(fn)
 
     timings: dict[str, float] = {}
     total_rows = 0
@@ -117,7 +134,7 @@ def main() -> None:
         reps = []
         for _ in range(3):
             t0 = time.time()
-            fn()
+            _run(fn)
             reps.append(time.time() - t0)
         dt = sorted(reps)[1]  # median of 3
         timings[name] = round(dt, 4)
@@ -133,8 +150,8 @@ def main() -> None:
         "l_returnflag", "l_extendedprice"
     )
     est = tdigest_percentile(li, "l_extendedprice", 100, 0.95, keys=["l_returnflag"])
-    ranks = (
-        li.join(F.broadcast(est), "l_returnflag")
+    ranks = _run(
+        lambda: li.join(F.broadcast(est), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
             F.avg((F.col("l_extendedprice") <= F.col("percentile")).cast("double")).alias(
@@ -160,7 +177,7 @@ def main() -> None:
 
     def _flagship():
         t0 = time.time()
-        tdigest_percentile(big, "c", 100, 0.95, keys=["a"]).collect()
+        _run(lambda: tdigest_percentile(big, "c", 100, 0.95, keys=["a"]).collect())
         return time.time() - t0
 
     _flagship()
