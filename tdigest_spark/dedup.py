@@ -338,6 +338,46 @@ def ngram_jaccard(text_a: Column, text_b: Column, k: int = 5) -> Column:
 
 
 # ----------------------------------------------------------------------
+# corpus-level duplicate n-gram mass
+# ----------------------------------------------------------------------
+def word_ngrams(text: Column, n: int = 5) -> Column:
+    """Array of space-joined word ``n``-grams — pure Catalyst
+    (split + sequence + transform/slice inside codegen); empty array
+    for blank documents or documents shorter than ``n`` words."""
+    w = F.split(F.trim(text), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.when(
+        (F.length(F.trim(text)) > 0) & (F.size(w) >= n), grams
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_ngram_mass(df: DataFrame, text_col: str, n: int = 5) -> DataFrame:
+    """Corpus-level substring-duplication signal (the measurement half
+    of exact-substring dedup à la Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): one row
+    ``(n_instances, n_distinct, dup_instances)`` where
+    ``dup_instances`` counts n-gram occurrences whose gram appears
+    more than once corpus-wide.
+
+    Plan shape is a word-count: explode → groupBy(gram) with map-side
+    partial aggregation → single global fold.  N-grams are
+    high-cardinality and near-uniform, so the shuffle has no hot keys;
+    this is the canonical scalable shape for 10^12-document corpora."""
+    grams = df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+    return counts.agg(
+        F.sum("cnt").alias("n_instances"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "dup_instances"
+        ),
+    )
+
+
+# ----------------------------------------------------------------------
 # SimHash
 # ----------------------------------------------------------------------
 # padded uint64 slots per vote block (docs × max-token-count), ~4 MB of

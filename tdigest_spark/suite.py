@@ -883,6 +883,90 @@ def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate 5-gram mass over documents — the exact
+    substring-duplication measurement; DuckDB oracle replays the same
+    n-gram explode + count."""
+    from tdigest_spark.dedup import duplicate_ngram_mass
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicate_ngram_mass(docs, "text", n=5)
+
+
+def q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screen: docs whose most frequent token
+    exceeds 20% of all tokens, per language (exact wordcount shape)."""
+    from tdigest_spark.text import word_repetition
+
+    docs = _read(spark, sf_dir, "documents")
+    per = word_repetition(docs, "doc_id", "text", carry=("lang",))
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("top_token_frac") > 0.2).cast("long")).alias("n_repetitive"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + scrub: plant a deterministic email+phone into every
+    third document, count detections per source, verify the scrubbed
+    text re-scans clean — oracle replays the same plant/regex/scrub."""
+    from tdigest_spark.text import pii_count, scrub_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "t2",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call +1 555-123-4567"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return (
+        aug.groupBy("source")
+        .agg(
+            F.sum((pii_count(F.col("t2")) > 0).cast("long")).alias("n_docs_with_pii"),
+            F.sum(pii_count(F.col("t2")).cast("long")).alias("n_pii_matches"),
+            F.sum(pii_count(scrub_pii(F.col("t2"))).cast("long")).alias("residual_pii"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization collapses 6 planted crawl-variant styles
+    (scheme/host case, www., :443, trailing slash, query order,
+    fragment) of 25 pages into 25 clusters of 6.  The probe corpus is
+    deterministic, so the oracle is the closed-form expected rows."""
+    from tdigest_spark.urls import url_dedup
+
+    n_pages, n_var = 25, 6
+    base = spark.range(n_pages * n_var).select(
+        "id",
+        (F.col("id") % n_pages).cast("string").alias("k"),
+        (F.col("id") % n_var).alias("v"),
+    )
+    q12, q21 = F.lit("?a=1&b=2"), F.lit("?b=2&a=1")
+    k = F.col("k")
+    url = (
+        F.when(F.col("v") == 0, F.concat(F.lit("https://example.com/p"), k, q12))
+        .when(F.col("v") == 1, F.concat(F.lit("HTTPS://EXAMPLE.COM/p"), k, q21))
+        .when(F.col("v") == 2, F.concat(F.lit("https://www.example.com/p"), k, q12))
+        .when(F.col("v") == 3, F.concat(F.lit("https://example.com:443/p"), k, q21))
+        .when(F.col("v") == 4, F.concat(F.lit("https://example.com/p"), k, F.lit("/"), q21))
+        .otherwise(F.concat(F.lit("https://example.com/p"), k, q12, F.lit("#frag")))
+    )
+    probe = base.select("id", url.alias("url"))
+    return url_dedup(probe, "url", "id").orderBy("keep_id")
+
+
 def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-callable scalar functions over a digest table (the
     reference's SQL surface: tdigest_count / tdigest_digest_avg /
@@ -1448,7 +1532,16 @@ PIPELINE_QUERIES = {
     "lang_id": q_lang_id,
     "fingerprint_dups": q_fingerprint_dups,
     "multimodal_pipeline": q_multimodal_pipeline,
+    "dup_ngram_mass": q_dup_ngram_mass,
+    "word_repetition": q_word_repetition,
+    "pii_scrub": q_pii_scrub,
+    "url_dedup": q_url_dedup,
 }
+
+# PII regexes shared with text.py (RE2/Java-compatible subset; see
+# text._PII_EMAIL / _PII_PHONE — duplicated here as SQL-escaped strings)
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE_SQL = "\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3}[ -][0-9]{4}"
 
 _QUALITY_SQL = (
     "length(text) >= 100 AND length(text) <= 100000"
@@ -1525,6 +1618,58 @@ PIPELINE_ORACLES = {
         " TRUE AS dim_ok, TRUE AS deterministic_ok,"
         " CAST(SUM(LEAST(4, octet_length(encode(text)))) AS BIGINT) AS n_frames"
         " FROM documents"
+    ),
+    "dup_ngram_mass": (
+        "WITH w AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS w"
+        " FROM documents WHERE length(trim(text)) > 0),"
+        " g AS (SELECT array_to_string(w[i:i+4], ' ') AS gram"
+        "  FROM w, UNNEST(generate_series(1, len(w) - 4)) AS t(i)"
+        "  WHERE len(w) >= 5),"
+        " c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)"
+        " SELECT CAST(SUM(cnt) AS BIGINT) AS n_instances,"
+        " CAST(COUNT(*) AS BIGINT) AS n_distinct,"
+        " CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)"
+        " AS dup_instances FROM c"
+    ),
+    "word_repetition": (
+        "WITH t AS (SELECT doc_id, lang,"
+        " unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok"
+        " FROM documents WHERE length(trim(text)) > 0),"
+        " c AS (SELECT doc_id, lang, tok, COUNT(*) AS c FROM t"
+        "  GROUP BY doc_id, lang, tok),"
+        " d AS (SELECT doc_id, lang, MAX(c) AS max_c, SUM(c) AS n FROM c"
+        "  GROUP BY doc_id, lang)"
+        " SELECT lang, COUNT(*) AS n_docs,"
+        " CAST(SUM(CASE WHEN CAST(max_c AS DOUBLE) / n > 0.2 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_repetitive"
+        " FROM d GROUP BY lang ORDER BY lang"
+    ),
+    "pii_scrub": (
+        "WITH a AS (SELECT source,"
+        " CASE WHEN doc_id % 3 = 0 THEN text || ' contact user'"
+        "  || CAST(doc_id AS VARCHAR)"
+        "  || '@example.com or call +1 555-123-4567'"
+        " ELSE text END AS t2 FROM documents),"
+        " p AS (SELECT source,"
+        "  len(regexp_extract_all(t2, '" + _PII_EMAIL_SQL + "'))"
+        "  + len(regexp_extract_all(t2, '" + _PII_PHONE_SQL + "')) AS c,"
+        "  regexp_replace(regexp_replace(t2, '" + _PII_EMAIL_SQL + "',"
+        "  '[EMAIL]', 'g'), '" + _PII_PHONE_SQL + "', '[PHONE]', 'g')"
+        "  AS scrubbed FROM a)"
+        " SELECT source,"
+        " CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_docs_with_pii,"
+        " CAST(SUM(c) AS BIGINT) AS n_pii_matches,"
+        " CAST(SUM(len(regexp_extract_all(scrubbed, '" + _PII_EMAIL_SQL + "'))"
+        "  + len(regexp_extract_all(scrubbed, '" + _PII_PHONE_SQL + "')))"
+        " AS BIGINT) AS residual_pii"
+        " FROM p GROUP BY source ORDER BY source"
+    ),
+    "url_dedup": (
+        "SELECT 'https://example.com/p' || CAST(k AS VARCHAR) || '?a=1&b=2'"
+        " AS canonical_url, CAST(k AS BIGINT) AS keep_id,"
+        " CAST(6 AS BIGINT) AS n_variants"
+        " FROM range(25) AS t(k) ORDER BY keep_id"
     ),
 }
 

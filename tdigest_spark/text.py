@@ -138,6 +138,62 @@ def lang_id(
 
 
 # ----------------------------------------------------------------------
+# PII detection / scrubbing
+# ----------------------------------------------------------------------
+# Patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB oracle): no backreferences, no lookaround.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3}[ -][0-9]{4}"
+
+
+def pii_count(text: Column) -> Column:
+    """Number of PII matches (emails + international-format phone
+    numbers) in a document.  Pure JVM ``regexp_count``."""
+    return F.coalesce(F.regexp_count(text, F.lit(_PII_EMAIL)), F.lit(0)) + F.coalesce(
+        F.regexp_count(text, F.lit(_PII_PHONE)), F.lit(0)
+    )
+
+
+def scrub_pii(
+    text: Column, email_token: str = "[EMAIL]", phone_token: str = "[PHONE]"
+) -> Column:
+    """Replace every PII match with a redaction token (JVM
+    ``regexp_replace`` replaces all occurrences)."""
+    return F.regexp_replace(
+        F.regexp_replace(text, _PII_EMAIL, email_token), _PII_PHONE, phone_token
+    )
+
+
+# ----------------------------------------------------------------------
+# repetition (Gopher-style "fraction of tokens in the most common word")
+# ----------------------------------------------------------------------
+def word_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    carry: tuple[str, ...] = (),
+    result_col: str = "top_token_frac",
+) -> DataFrame:
+    """Per-document repetition stats: ``(id, *carry, max_token_count,
+    n_tokens, top_token_frac)``.  Wordcount-shaped plan — explode →
+    two map-side-combinable groupBys — entirely JVM-side; blank
+    documents are dropped (no tokens, frac undefined)."""
+    cols = [id_col, *carry]
+    toks = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(*cols, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok__"))
+    )
+    per_tok = toks.groupBy(*cols, "__tok__").agg(F.count("*").alias("__c__"))
+    per_doc = per_tok.groupBy(*cols).agg(
+        F.max("__c__").alias("max_token_count"),
+        F.sum("__c__").alias("n_tokens"),
+    )
+    return per_doc.withColumn(
+        result_col, F.col("max_token_count") / F.col("n_tokens")
+    )
+
+
+# ----------------------------------------------------------------------
 # fingerprinting
 # ----------------------------------------------------------------------
 def content_fingerprint(text: Column) -> Column:

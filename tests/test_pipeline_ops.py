@@ -391,3 +391,137 @@ def test_simhash_minhash_huge_doc_chunked_paths():
     ]
     chunked = np.minimum.reduce([p.view(np.uint64) for p in parts]).view(np.int64)
     assert np.array_equal(direct, chunked)
+
+
+# ----------------------------------------------------------------------
+# duplicate n-gram mass
+# ----------------------------------------------------------------------
+def test_word_ngrams_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b"), (3, "   "), (4, None), (5, "x y z w v")],
+        ["id", "t"],
+    )
+    rows = {
+        r["id"]: r["g"]
+        for r in df.select("id", dedup.word_ngrams(F.col("t"), 5).alias("g")).collect()
+    }
+    assert rows[1] == ["a b c d e", "b c d e f"]
+    assert rows[2] == []  # shorter than n
+    assert rows[3] == []  # blank
+    assert rows[4] is None or rows[4] == []  # NULL text propagates
+    assert rows[5] == ["x y z w v"]
+
+
+def test_duplicate_ngram_mass(spark):
+    # "a b c d e" appears in docs 1 and 2 (dup); doc 3 contributes
+    # unique grams only
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e f"), (3, "p q r s t u")],
+        ["id", "t"],
+    )
+    row = dedup.duplicate_ngram_mass(df, "t", n=5).collect()[0]
+    # grams: d1 {abcde}, d2 {abcde, bcdef}, d3 {pqrst, qrstu} → 5 inst,
+    # 4 distinct, "a b c d e" ×2 duplicated
+    assert row["n_instances"] == 5
+    assert row["n_distinct"] == 4
+    assert row["dup_instances"] == 2
+
+
+# ----------------------------------------------------------------------
+# PII
+# ----------------------------------------------------------------------
+def test_pii_count_and_scrub(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org or +44 123-456-7890 now"),
+            (2, "no pii here"),
+            (3, None),
+        ],
+        ["id", "t"],
+    )
+    out = df.select(
+        "id",
+        text.pii_count(F.col("t")).alias("c"),
+        text.pii_count(text.scrub_pii(F.col("t"))).alias("after"),
+        text.scrub_pii(F.col("t")).alias("s"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["c"] == 2 and by_id[1]["after"] == 0
+    assert "[EMAIL]" in by_id[1]["s"] and "[PHONE]" in by_id[1]["s"]
+    assert "example.org" not in by_id[1]["s"]
+    assert by_id[2]["c"] == 0 and by_id[2]["s"] == "no pii here"
+    assert by_id[3]["s"] is None
+
+
+# ----------------------------------------------------------------------
+# word repetition
+# ----------------------------------------------------------------------
+def test_word_repetition(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam eggs", "en"), (2, "a b c d e", "en"), (3, " ", "de")],
+        ["doc_id", "t", "lang"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in text.word_repetition(df, "doc_id", "t", carry=("lang",)).collect()
+    }
+    assert rows[1]["max_token_count"] == 4 and rows[1]["n_tokens"] == 5
+    assert abs(rows[1]["top_token_frac"] - 0.8) < 1e-12
+    assert rows[2]["max_token_count"] == 1
+    assert 3 not in rows  # blank doc dropped
+
+
+# ----------------------------------------------------------------------
+# URL normalization
+# ----------------------------------------------------------------------
+def test_normalize_url_variants(spark):
+    from tdigest_spark import urls
+
+    variants = [
+        "https://example.com/a/b?x=1&y=2",
+        "HTTPS://EXAMPLE.COM/a/b?y=2&x=1",
+        "https://www.example.com/a/b?x=1&y=2",
+        "https://example.com:443/a/b?x=1&y=2",
+        "https://example.com/a/b/?x=1&y=2",
+        "https://example.com/a/b?x=1&y=2#frag",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(variants)], ["id", "u"])
+    got = {r[0] for r in df.select(urls.normalize_url(F.col("u"))).collect()}
+    assert got == {"https://example.com/a/b?x=1&y=2"}
+
+
+def test_normalize_url_preserves_distinctions(spark):
+    from tdigest_spark import urls
+
+    cases = [
+        # http :80 strips, https :80 does not
+        ("http://a.com:80/x", "http://a.com/x"),
+        ("https://a.com:80/x", "https://a.com:80/x"),
+        # path case + percent-encoding preserved
+        ("https://a.com/A%2Fb", "https://a.com/A%2Fb"),
+        # root path and empty path distinct from each other? both kept
+        ("https://a.com/", "https://a.com/"),
+        ("https://a.com", "https://a.com"),
+        # schemeless input passes through trimmed
+        ("  not-a-url  ", "not-a-url"),
+    ]
+    df = spark.createDataFrame(cases, ["u", "want"])
+    bad = df.filter(urls.normalize_url(F.col("u")) != F.col("want")).collect()
+    assert bad == []
+
+
+def test_url_dedup_clusters(spark):
+    from tdigest_spark import urls
+
+    df = spark.createDataFrame(
+        [
+            (10, "https://a.com/x?p=1&q=2"),
+            (11, "https://WWW.A.COM/x?q=2&p=1#top"),
+            (12, "https://b.com/x"),
+        ],
+        ["id", "url"],
+    )
+    rows = {r["canonical_url"]: r for r in urls.url_dedup(df, "url", "id").collect()}
+    assert rows["https://a.com/x?p=1&q=2"]["keep_id"] == 10
+    assert rows["https://a.com/x?p=1&q=2"]["n_variants"] == 2
+    assert rows["https://b.com/x"]["n_variants"] == 1
