@@ -1080,6 +1080,58 @@ def q_streaming_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark over content
+    fingerprints): documents plus a full copy replayed as micro-batches
+    (+1M ids put each copy in a different batch than its original, so
+    dedup state must carry across triggers).  Survivors land in a
+    parquet sink and are verified distributively: survivor count must
+    equal the exact distinct normalized-text count."""
+    import tempfile
+
+    from tdigest_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    both = docs.unionByName(copies).withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.pmod("doc_id", F.lit(1000))),
+    )
+    stream = _replay_as_stream(spark, both, "doc_id", "suite_sdedup_src_")
+    out = streaming_exact_dedup(
+        stream, "ts", text_col="text", watermark_delay="24 hours"
+    )
+    outdir = tempfile.mkdtemp(prefix="suite_sdedup_out_")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", outdir)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="suite_sdedup_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    surv = spark.read.parquet(outdir)
+    stats = surv.agg(
+        F.count("*").alias("n_out_raw"),
+        F.countDistinct("content_fp").alias("n_fp"),
+    )
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    base = docs.agg(
+        (F.count("*") * 2).alias("n_in_raw"),
+        F.countDistinct(norm).alias("n_exact_distinct"),
+    )
+    return stats.crossJoin(base).select(
+        F.col("n_in_raw").alias("n_in"),
+        F.col("n_out_raw").alias("n_out"),
+        (
+            (F.col("n_fp") == F.col("n_out_raw"))
+            & (F.col("n_out_raw") == F.col("n_exact_distinct"))
+        ).alias("unique_ok"),
+    )
+
+
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing under the oracle gate: binary payloads with
     typed metadata, deterministic (fake-decoder) feature extraction,
@@ -1372,6 +1424,7 @@ TDIGEST_QUERIES = {
     "tdigest_scalar_functions": q_tdigest_scalar_functions,
     "sql_surface": q_sql_surface,
     "streaming_digest": q_streaming_digest,
+    "streaming_dedup": q_streaming_dedup,
     "streaming_windowed": q_streaming_windowed,
     "windowed_percentile": q_windowed_percentile,
     "join_percentile": q_join_percentile,
@@ -1481,6 +1534,11 @@ TDIGEST_ORACLES = {
     "streaming_digest": (
         "SELECT lang, COUNT(*) AS n, TRUE AS ok FROM documents "
         "GROUP BY lang ORDER BY lang"
+    ),
+    "streaming_dedup": (
+        "SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_in,"
+        " CAST(COUNT(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+        " AS BIGINT) AS n_out, TRUE AS unique_ok FROM documents"
     ),
     "streaming_windowed": (
         "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,"

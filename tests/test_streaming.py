@@ -206,3 +206,51 @@ def test_suite_windowed_queries_restore_session_tz(spark):
         assert rows and all(r["ok"] for r in rows)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+# ----------------------------------------------------------------------
+# streaming exact dedup
+# ----------------------------------------------------------------------
+def test_streaming_exact_dedup_cross_batch(spark, tmp_path_factory):
+    from tdigest_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    src = tmp_path_factory.mktemp("sdedup_src")
+    # batch 1: docs 0-9; batch 2: copies of 0-4 (different whitespace /
+    # case) + new docs 10-14; batch 3: copy of doc 10
+    rows1 = [(i, f"doc number {i} body", 1_700_000_000 + i) for i in range(10)]
+    rows2 = [(100 + i, f"  DOC  number {i} BODY ", 1_700_000_100 + i) for i in range(5)]
+    rows2 += [(i, f"doc number {i} body", 1_700_000_100 + i) for i in range(10, 15)]
+    rows3 = [(210, "doc number 10 body", 1_700_000_200)]
+    for rows in (rows1, rows2, rows3):
+        spark.createDataFrame(rows, ["id", "text", "epoch"]).withColumn(
+            "ts", F.timestamp_seconds("epoch")
+        ).drop("epoch").coalesce(1).write.mode("append").parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    out = streaming_exact_dedup(stream, "ts", text_col="text", watermark_delay="1 hour")
+    sink = tmp_path_factory.mktemp("sdedup_out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("sdedup_ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    surv = spark.read.parquet(str(sink)).collect()
+    # 15 distinct normalized texts survive; every cross-batch copy dropped
+    assert len(surv) == 15
+    assert len({r["content_fp"] for r in surv}) == 15
+    assert {r["id"] for r in surv} == set(range(15))
+
+
+def test_streaming_dedup_arg_validation(spark):
+    from tdigest_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError):
+        streaming_exact_dedup(df, "timestamp")
+    with pytest.raises(ValueError):
+        streaming_exact_dedup(df, "timestamp", text_col="x", subset=["y"])
