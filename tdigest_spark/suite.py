@@ -1080,6 +1080,41 @@ def q_streaming_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram from per-group digests (functions.
+    tdigest_histogram): k+1 monotone edges at quantiles i/k, the
+    digest-native replacement for a full sort when binning features.
+    Verified distributively: every inner edge's exact rank within ±0.03
+    of i/k, edges monotone, end edges exactly the group min/max."""
+    from tdigest_spark.spark.functions import tdigest_histogram
+    from tdigest_spark.spark.tdigest_agg import tdigest
+
+    k = 8
+    ev = _read(spark, sf_dir, "events").select("event_type", "value")
+    dig = tdigest(ev, "value", 100, keys=["event_type"])
+    hist = dig.select(
+        "event_type", tdigest_histogram(F.col("tdigest"), k).alias("edges")
+    )
+    joined = ev.join(F.broadcast(hist), "event_type")
+    rank_aggs = [
+        F.avg((F.col("value") <= F.col("edges")[i]).cast("double")).alias(f"r{i}")
+        for i in range(1, k)
+    ]
+    agg = joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.first("edges").alias("edges"),
+        *rank_aggs,
+    )
+    ok = (F.col("edges") == F.array_sort("edges")) & (
+        F.abs(F.col("edges")[0] - F.col("vmin")) < 1e-9
+    ) & (F.abs(F.col("edges")[k] - F.col("vmax")) < 1e-9)
+    for i in range(1, k):
+        ok = ok & (F.abs(F.col(f"r{i}") - i / k) < 0.03)
+    return agg.select("event_type", "n", ok.alias("ok")).orderBy("event_type")
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (dropDuplicatesWithinWatermark over content
     fingerprints): documents plus a full copy replayed as micro-batches
@@ -1429,6 +1464,7 @@ TDIGEST_QUERIES = {
     "windowed_percentile": q_windowed_percentile,
     "join_percentile": q_join_percentile,
     "rollup_counts": q_rollup_counts,
+    "equidepth_histogram": q_equidepth_histogram,
     "topk_heavy_hitters": q_topk_heavy_hitters,
     "reservoir_sample": q_reservoir_sample,
     "dedup_clusters": q_dedup_clusters,
@@ -1534,6 +1570,10 @@ TDIGEST_ORACLES = {
     "streaming_digest": (
         "SELECT lang, COUNT(*) AS n, TRUE AS ok FROM documents "
         "GROUP BY lang ORDER BY lang"
+    ),
+    "equidepth_histogram": (
+        "SELECT event_type, COUNT(*) AS n, TRUE AS ok FROM events"
+        " GROUP BY event_type ORDER BY event_type"
     ),
     "streaming_dedup": (
         "SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_in,"
