@@ -38,6 +38,23 @@ def _run(fn):
         return fn()
 
 
+def _timed_rep(fn) -> float:
+    """One timed measurement; a transient failure discards the broken
+    attempt and re-times from scratch (retrying inside the timed window
+    would inflate the recorded number)."""
+    try:
+        t0 = time.time()
+        fn()
+        return time.time() - t0
+    except Exception as exc:  # noqa: BLE001 — deliberate single retry
+        print(f"bench: re-timing rep after transient error: {exc!r}"[:300],
+              file=sys.stderr)
+        time.sleep(2.0)
+        t0 = time.time()
+        fn()
+        return time.time() - t0
+
+
 def bench_queries(spark, sf_dir):
     """name -> (fn, rows_processed_fn). Each fn triggers a full action."""
     from pyspark.sql import functions as F
@@ -131,11 +148,7 @@ def main() -> None:
     total_rows = 0
     total_time = 0.0
     for name, (fn, rows) in qs.items():
-        reps = []
-        for _ in range(3):
-            t0 = time.time()
-            _run(fn)
-            reps.append(time.time() - t0)
+        reps = [_timed_rep(fn) for _ in range(3)]
         dt = sorted(reps)[1]  # median of 3
         timings[name] = round(dt, 4)
         total_rows += rows
@@ -176,9 +189,9 @@ def main() -> None:
     n_rows = big.count()
 
     def _flagship():
-        t0 = time.time()
-        _run(lambda: tdigest_percentile(big, "c", 100, 0.95, keys=["a"]).collect())
-        return time.time() - t0
+        return _timed_rep(
+            lambda: tdigest_percentile(big, "c", 100, 0.95, keys=["a"]).collect()
+        )
 
     _flagship()
     build_sec = sorted(_flagship() for _ in range(3))[1]

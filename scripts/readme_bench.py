@@ -37,11 +37,15 @@ DEFAULT_DATA = os.path.join(
 
 
 def generate(data_dir: str, cores: int = 16) -> None:
+    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from tdigest_spark.spark.session import get_spark
 
-    spark = get_spark("readme-bench-gen", cores=cores)
+    # callers (bench.py) may already hold a session — getOrCreate would
+    # hand that same session back, so only stop what we actually created
+    existing = SparkSession.getActiveSession()
+    spark = existing or get_spark("readme-bench-gen", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.range(N_ROWS, numPartitions=32).select(
         F.floor(F.rand(41) * 10).cast("int").alias("a"),
@@ -49,7 +53,8 @@ def generate(data_dir: str, cores: int = 16) -> None:
         F.rand(43).alias("c"),
     )
     df.write.mode("overwrite").parquet(data_dir)
-    spark.stop()
+    if existing is None:
+        spark.stop()
 
 
 def measure(data_dir: str, cores: int, runs: int = 3) -> dict:

@@ -206,11 +206,15 @@ def minhash_signatures(
                     ).view(np.int64)[0]
                 )
                 continue
+            # flush BEFORE appending when the doc would push the block
+            # past the budget: post-append totals then never exceed
+            # _MINHASH_SHINGLE_BLOCK, so the scratch buffer is sized
+            # once and never reallocated mid-batch
+            if block and block_shingles + sh.size > _MINHASH_SHINGLE_BLOCK:
+                flush()
             block.append(sh)
             block_pos.append(i)
             block_shingles += sh.size
-            if block_shingles >= _MINHASH_SHINGLE_BLOCK:
-                flush()
         flush()
         return pd.Series(out)
 

@@ -1026,7 +1026,9 @@ def _run_stream_to_memory(spark, out, prefix: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"streaming query {name} did not finish in 300s")
     return spark.sql(f"SELECT * FROM {name}").collect()
 
 
@@ -1146,7 +1148,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_dedup query did not finish in 300s")
     surv = spark.read.parquet(outdir)
     stats = surv.agg(
         F.count("*").alias("n_out_raw"),
@@ -1636,10 +1640,10 @@ PIPELINE_QUERIES = {
     "url_dedup": q_url_dedup,
 }
 
-# PII regexes shared with text.py (RE2/Java-compatible subset; see
-# text._PII_EMAIL / _PII_PHONE — duplicated here as SQL-escaped strings)
-_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PII_PHONE_SQL = "\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3}[ -][0-9]{4}"
+# PII regexes: one source of truth in text.py (RE2/Java-compatible
+# subset, no quote characters, safe to inline into the oracle SQL)
+from tdigest_spark.text import _PII_EMAIL as _PII_EMAIL_SQL  # noqa: E402
+from tdigest_spark.text import _PII_PHONE as _PII_PHONE_SQL  # noqa: E402
 
 _QUALITY_SQL = (
     "length(text) >= 100 AND length(text) <= 100000"

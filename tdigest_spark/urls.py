@@ -14,8 +14,10 @@ transform never conflates %2F with '/'):
 
 * scheme and host lowercased; leading ``www.`` stripped
 * default ports dropped (``:80`` for http, ``:443`` for https)
-* fragment dropped
-* trailing ``/`` on a non-root path dropped (``/a/`` == ``/a``)
+* fragment dropped (stripped before query extraction — '?' is legal
+  inside a fragment)
+* empty path normalized to ``/`` (RFC 3986 §6.2.3), then the trailing
+  ``/`` of any non-root path dropped (``/a/`` == ``/a``)
 * query parameters sorted bytewise; empty query dropped
 """
 
@@ -35,15 +37,23 @@ def normalize_url(url: Column) -> Column:
     URLs without a ``scheme://`` prefix pass through trimmed-only, so
     the column is total (never NULL for non-NULL input)."""
     u = F.trim(url)
-    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
-    host = F.lower(F.regexp_extract(u, _AUTHORITY_RE, 1))
+    # strip the fragment FIRST: '?' is legal inside a fragment
+    # (RFC 3986 §3.5), so query extraction must only see the pre-'#'
+    # part or '#sec?x=1' would fabricate a query
+    pre = F.regexp_extract(u, r"^([^#]*)", 1)
+    scheme = F.lower(F.regexp_extract(pre, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(pre, _AUTHORITY_RE, 1))
     host = F.regexp_replace(host, r"^www\.", "")
     host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(
         F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
     )
-    path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.regexp_extract(pre, _PATH_RE, 1)
+    # empty path ≡ '/' for http(s) (RFC 3986 §6.2.3) — normalize to '/'
+    # so 'https://a.com' and 'https://a.com/' share one key, then strip
+    # the trailing slash of any non-root path
+    path = F.when(path == "", F.lit("/")).otherwise(path)
     path = F.when(path != "/", F.regexp_replace(path, r"/$", "")).otherwise(path)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    query = F.regexp_extract(pre, r"\?([^#]*)", 1)
     query = F.array_join(F.array_sort(F.split(query, "&")), "&")
     canonical = F.concat(
         scheme,

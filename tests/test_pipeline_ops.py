@@ -499,9 +499,11 @@ def test_normalize_url_preserves_distinctions(spark):
         ("https://a.com:80/x", "https://a.com:80/x"),
         # path case + percent-encoding preserved
         ("https://a.com/A%2Fb", "https://a.com/A%2Fb"),
-        # root path and empty path distinct from each other? both kept
+        # empty path ≡ root path (RFC 3986 §6.2.3) — both collapse
         ("https://a.com/", "https://a.com/"),
-        ("https://a.com", "https://a.com"),
+        ("https://a.com", "https://a.com/"),
+        # '?' inside a fragment is fragment, not query
+        ("https://a.com/p#sec?x=1", "https://a.com/p"),
         # schemeless input passes through trimmed
         ("  not-a-url  ", "not-a-url"),
     ]

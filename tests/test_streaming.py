@@ -238,7 +238,7 @@ def test_streaming_exact_dedup_cross_batch(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     surv = spark.read.parquet(str(sink)).collect()
     # 15 distinct normalized texts survive; every cross-batch copy dropped
     assert len(surv) == 15
