@@ -198,16 +198,23 @@ def main() -> None:
 
     # apples-to-apples rerun of the reference README's experiment
     # (10M rows (a int, b int, c double), grouped p95; PG: 2873.116 ms
-    # single backend / 893.538 ms at 4 workers — README.md:138-154)
+    # single backend / 893.538 ms at 4 workers — README.md:138-154).
+    # The parent 32-core JVM is done at this point — stop it so the
+    # low-core subprocess measurements don't share the box with an
+    # idle 8 GB heap (adds 100-500 ms of noise to a ~1 s job)
+    spark.stop()
     readme = {}
     try:
         import subprocess
 
         here = os.path.dirname(os.path.abspath(__file__))
         for cores in (1, 4):
+            # 5 reps: the ~1 s local[4] job sits near the task-dispatch
+            # floor, where a median of 3 still jumps ±30% across fresh
+            # JVMs; 5 reps stabilizes it within ~10%
             out = subprocess.run(
                 [sys.executable, os.path.join(here, "scripts", "readme_bench.py"),
-                 "--cores", str(cores)],
+                 "--cores", str(cores), "--runs", "5"],
                 capture_output=True, text=True, timeout=900, check=True,
             )
             readme[f"local{cores}_ms"] = json.loads(
