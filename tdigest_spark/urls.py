@@ -43,7 +43,11 @@ def normalize_url(url: Column) -> Column:
     pre = F.regexp_extract(u, r"^([^#]*)", 1)
     scheme = F.lower(F.regexp_extract(pre, _SCHEME_RE, 1))
     host = F.lower(F.regexp_extract(pre, _AUTHORITY_RE, 1))
-    host = F.regexp_replace(host, r"^www\.", "")
+    # strip ALL leading www. prefixes in one pass so the normalizer is
+    # idempotent — re-normalizing a stored canonical key must be a
+    # no-op, and one-at-a-time stripping would move 'www.www.x.com'
+    # on every application
+    host = F.regexp_replace(host, r"^(www\.)+", "")
     host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(
         F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
     )

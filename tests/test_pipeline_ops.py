@@ -527,3 +527,28 @@ def test_url_dedup_clusters(spark):
     assert rows["https://a.com/x?p=1&q=2"]["keep_id"] == 10
     assert rows["https://a.com/x?p=1&q=2"]["n_variants"] == 2
     assert rows["https://b.com/x"]["n_variants"] == 1
+
+
+def test_normalize_url_idempotent(spark):
+    """Canonical keys must be stable: normalize(normalize(u)) ==
+    normalize(u), including pathological hosts ('www.www.x.com',
+    'www.com'), stacked default ports, fragments with '?', and empty
+    components.  (Hypothesis-style corpus kept deterministic so the
+    Spark round-trip stays one job.)"""
+    from itertools import product
+
+    from tdigest_spark import urls
+
+    schemes = ["http://", "https://", "HTTPS://", ""]
+    hosts = ["example.com", "WWW.Example.com", "www.www.x.com", "www.com",
+             "a.com:443", "a.com:80", "a.com:8080"]
+    paths = ["", "/", "/p", "/p/", "/A%2Fb/"]
+    tails = ["", "?b=2&a=1", "?a=1", "#f", "#sec?x=1", "?b=2&a=1#f"]
+    corpus = ["".join(p) for p in product(schemes, hosts, paths, tails)]
+    df = spark.createDataFrame([(u,) for u in corpus], ["u"])
+    once = df.select(urls.normalize_url(F.col("u")).alias("c1"))
+    twice = once.select(
+        "c1", urls.normalize_url(F.col("c1")).alias("c2")
+    )
+    bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+    assert bad == [], f"non-idempotent: {bad[:5]}"
