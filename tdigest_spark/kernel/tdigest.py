@@ -145,6 +145,12 @@ class TDigest:
             return
         if np.any(c <= 0):
             raise ValueError("invalid count value, must be a positive value")
+        if np.isnan(m).any():
+            # centroids come from digests / pre-aggregated pairs, where
+            # NaN means corruption, not data (the reference asserts
+            # !isnan on every centroid add; a NaN here would also make
+            # to_bytes() emit a blob from_bytes() rejects)
+            raise ValueError("centroid mean must not be NaN")
         self._pending_means.append(m)
         self._pending_counts.append(c)
         self._pending_n += m.size
@@ -157,6 +163,12 @@ class TDigest:
         count = int(count)
         if count <= 0:
             raise ValueError(f"invalid count value {count}, must be a positive value")
+        if value != value:
+            # NaN values are dropped like add_values drops them (SQL
+            # null semantics) — previously the huge-count generate path
+            # poisoned the digest with NaN centroids while the small
+            # path silently dropped, so behavior depended on count
+            return
         if count > buffer_size(self.compression):
             counts = generate_counts(self.compression, count)
             self.add_centroids(np.full(counts.size, float(value)), counts)
@@ -789,6 +801,15 @@ def deserialize(data: bytes) -> tuple[np.ndarray, np.ndarray, int, int]:
     counts = pairs[:, 8:].copy().view(">i8").ravel().astype(np.int64)
     if flags & ~TDIGEST_STORES_MEAN:
         raise ValueError("invalid flags for t-digest")
+    if n == 0 and count == 0:
+        # serialize() emits a header-only blob for an empty digest, so
+        # the binary round trip must accept it back (the reference wire
+        # format never carries empty digests — its aggregates return
+        # NULL instead — but kernel users may persist a digest before
+        # data arrives).  The strict text format (from_string) keeps
+        # reference parity and still rejects empty.
+        check_compression(compression)
+        return means, counts, 0, int(compression)
     if not (flags & TDIGEST_STORES_MEAN):
         with np.errstate(divide="ignore", invalid="ignore"):
             means = means / counts

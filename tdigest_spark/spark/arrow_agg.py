@@ -120,12 +120,21 @@ def _column_views(batch: pa.RecordBatch, inputs: Sequence[str]):
     }
 
 
+# packed radix codes must stay inside int64; past this the grouping
+# falls back to a stable lexsort over per-key codes
+_RADIX_MAX = 1 << 62
+
+
 def _group_slices(batch: pa.RecordBatch, keys: Sequence[str]):
     """Yield (key_tuple, row_index_array) per distinct key combo, with
     only O(#distinct) Python objects created."""
     n = batch.num_rows
     if not keys:
         yield (0,), None  # None = all rows
+        return
+    if n == 0:
+        # keyed aggregate over an empty batch has no groups; the radix
+        # boundary arithmetic below would index into an empty array
         return
     code_arrays = []
     dicts = []
@@ -141,8 +150,30 @@ def _group_slices(batch: pa.RecordBatch, keys: Sequence[str]):
 
         code_arrays.append(arrow_ints(dcol.indices, fill=-1) + 1)
         dicts.append(dcol.dictionary.to_pylist())
-    codes = code_arrays[0]
     radix = [len(d) + 1 for d in dicts]
+    total = 1
+    for r in radix:
+        total *= r  # python int: exact, no wraparound
+    if total >= _RADIX_MAX:
+        # the packed radix code would overflow int64 (only reachable
+        # with many wide keys in one batch) — group by stable lexsort
+        # over the per-key codes instead of a packed code
+        order = np.lexsort(tuple(reversed(code_arrays)))
+        sorted_cols = [c[order] for c in code_arrays]
+        diff = np.zeros(n - 1, dtype=bool)
+        for c in sorted_cols:
+            np.logical_or(diff, c[:-1] != c[1:], out=diff)
+        boundaries = np.flatnonzero(diff) + 1
+        starts = np.concatenate(([0], boundaries))
+        ends = np.concatenate((boundaries, [n]))
+        for s, e in zip(starts, ends):
+            key = tuple(
+                None if int(col[s]) == 0 else dicts[i][int(col[s]) - 1]
+                for i, col in enumerate(sorted_cols)
+            )
+            yield key, order[s:e]
+        return
+    codes = code_arrays[0]
     for i in range(1, len(keys)):
         codes = codes * radix[i] + code_arrays[i]
     order = np.argsort(codes, kind="stable")
@@ -158,6 +189,27 @@ def _group_slices(batch: pa.RecordBatch, keys: Sequence[str]):
             code //= radix[i]
             key.append(None if c == 0 else dicts[i][c - 1])
         yield tuple(reversed(key)), order[s:e]
+
+
+def fold_group_batches(batches, keys, inputs, new_state, fold, states=None):
+    """Fold RecordBatches into per-group sketch states — the one
+    group-slice/take/fold loop shared by the mapInArrow partial phase
+    and the native-scan split reader.  Pass ``states`` to accumulate
+    across multiple batch iterators."""
+    states = {} if states is None else states
+    for batch in batches:
+        views = _column_views(batch, inputs)
+        for key, rows in _group_slices(batch, keys):
+            st = states.get(key)
+            if st is None:
+                st = states[key] = new_state()
+            if rows is None:
+                kwargs = {name: views[name] for name in inputs}
+            else:
+                take_idx = pa.array(rows)
+                kwargs = {name: views[name].take(take_idx) for name in inputs}
+            fold(st, **kwargs)
+    return states
 
 
 def _jcls(obj) -> str:
@@ -379,7 +431,18 @@ def _pc_eval(node, columns):
         return pc.is_valid(_pc_eval(node[1], columns))
     if kind == "in":
         v = _pc_eval(node[1], columns)
-        m = pc.is_in(v, value_set=pa.array(node[2]))
+        t = getattr(v, "type", None)
+        if t is not None and pa.types.is_floating(t):
+            # Arrow's hash-based is_in distinguishes -0.0 from 0.0;
+            # Spark's IN treats them equal.  Promote to float64 (exact)
+            # and add 0.0 on both sides — IEEE addition maps -0.0 to
+            # +0.0 and leaves every other value (incl. NaN, null)
+            # unchanged
+            probe = pc.add(pc.cast(v, pa.float64()), pa.scalar(0.0))
+            vals = pc.add(pa.array(node[2], type=pa.float64()), pa.scalar(0.0))
+            m = pc.is_in(probe, value_set=vals)
+        else:
+            m = pc.is_in(v, value_set=pa.array(node[2]))
         # SQL: NULL IN (...) is NULL (so NOT IN drops it); Arrow's
         # is_in yields false for null inputs — restore the null
         return pc.if_else(pc.is_valid(v), m, pa.scalar(None, pa.bool_()))
@@ -608,12 +671,23 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
     else:
         import pyarrow.parquet as pq
 
+        # physical columns every file must carry (projection sources +
+        # residual-predicate data columns)
+        _, phys_sources = native_scan_ops(
+            {c: col_map[c] for c in needed}, needed, pred_data
+        )
         for p in paths:
             try:
                 md = pq.ParquetFile(p).metadata
             except Exception:  # noqa: BLE001
                 return None
             col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if any(s not in col_idx for s in phys_sources):
+                # schema evolution: an older file lacks a requested
+                # column.  Spark's scan fills missing columns with
+                # nulls; the native reader does not, so this table
+                # stays on the Catalyst path.
+                return None
             acc, run = 0, []
             for g in range(md.num_row_groups):
                 rg = md.row_group(g)
@@ -646,12 +720,20 @@ def _bundle_pieces(df, pieces, col_map, needed, batch_predicate, pred_part, pred
     total = sum(sz for *_, sz in pieces)
     target = max(2 * parallelism, -(-total // SPLIT_BYTES))
     target = min(target, len(pieces))
+    # least-loaded-first-decreasing via a heap: O(n log n) instead of
+    # the O(pieces × bins) fill.index(min(fill)) scan, which at ~160k
+    # row-group pieces on a multi-TB table would cost minutes of
+    # single-threaded driver time before the job launches.  Tie-break
+    # on bin index keeps the packing deterministic (same order the
+    # linear scan produced: lowest index among equally-filled bins).
+    import heapq
+
     bins: list[list] = [[] for _ in range(target)]
-    fill = [0] * target
+    heap = [(0, i) for i in range(target)]  # already a valid heap
     for p, rgs, sz in sorted(pieces, key=lambda x: -x[2]):
-        i = fill.index(min(fill))  # first-fit-decreasing, deterministic
+        fill, i = heapq.heappop(heap)
         bins[i].append((p, rgs))
-        fill[i] += sz
+        heapq.heappush(heap, (fill + sz, i))
     splits = [b for b in bins if b]
     return (
         splits,
@@ -712,26 +794,15 @@ def _native_partials(
         return spark.createDataFrame([], partial_schema)
 
     def scan_split(it):
-        import pyarrow as pa  # noqa: F401 (re-import for the worker)
-
         states: dict[tuple, Any] = {}
         for bundle in it:
-            for nb in iter_bundle_batches(
-                bundle, needed, ops, sources, predicate, pred_part, pred_data
-            ):
-                views = _column_views(nb, inputs)
-                for key, rows in _group_slices(nb, keys if grouped else []):
-                    st = states.get(key)
-                    if st is None:
-                        st = states[key] = new_state()
-                    if rows is None:
-                        kwargs = {name: views[name] for name in inputs}
-                    else:
-                        take_idx = pa.array(rows)
-                        kwargs = {
-                            name: views[name].take(take_idx) for name in inputs
-                        }
-                    fold(st, **kwargs)
+            fold_group_batches(
+                iter_bundle_batches(
+                    bundle, needed, ops, sources, predicate, pred_part, pred_data
+                ),
+                keys if grouped else [],
+                inputs, new_state, fold, states=states,
+            )
         for key, st in states.items():
             blob = serialize(st)
             yield (*key, bytearray(blob) if blob is not None else None)
@@ -845,6 +916,19 @@ def iter_bundle_batches(
             for c, ddl in pred_part.items()
         }
         pf = pq.ParquetFile(path)
+        missing = [s for s in sources if s not in pf.schema_arrow.names]
+        if missing:
+            # only reachable on >MAX_FOOTER_READS tables (plan time
+            # verifies every footer otherwise): fail loudly — pyarrow's
+            # get_field_index returns -1 for absent columns and
+            # batch.column(-1) silently wraps to the LAST column, which
+            # would corrupt every aggregate built from this file
+            raise ValueError(
+                f"native scan: {path} lacks column(s) {missing} "
+                "(schema-evolved table); set "
+                "tdigest_spark.spark.arrow_agg.NATIVE_SCAN=False to use "
+                "the Catalyst scan, which null-fills missing columns"
+            )
         bs = batch_size if batch_size is not None else _rows_for_target(pf.metadata)
         if rgs is None:
             batches = pf.iter_batches(columns=list(sources), batch_size=bs)
@@ -971,23 +1055,11 @@ def sketch_groupby_arrow(
         from pyspark.sql.pandas.types import to_arrow_schema
 
         out_schema = to_arrow_schema(partial_schema)
-        states: dict[tuple, Any] = {}
-        for batch in batches:
-            views = _column_views(batch, inputs)
-            # ungrouped: skip the encode/sort entirely (keys is the
-            # constant sentinel column)
-            for key, rows in _group_slices(batch, keys if grouped else []):
-                st = states.get(key)
-                if st is None:
-                    st = states[key] = new_state()
-                if rows is None:
-                    kwargs = {name: views[name] for name in inputs}
-                else:
-                    take_idx = pa.array(rows)
-                    kwargs = {
-                        name: views[name].take(take_idx) for name in inputs
-                    }
-                fold(st, **kwargs)
+        # ungrouped: _group_slices skips the encode/sort entirely (keys
+        # is the constant sentinel column)
+        states = fold_group_batches(
+            batches, keys if grouped else [], inputs, new_state, fold
+        )
         cols: dict[str, list] = {f.name: [] for f in partial_schema.fields}
         for key, st in states.items():
             for kname, kval in zip(keys, key):

@@ -353,9 +353,15 @@ def test_malformed_binary_rejected():
     good = tdigest_from_values([1.0, 2.0], 100).to_bytes()
     with pytest.raises(ValueError):
         TDigest.from_bytes(good[:-1])  # truncated
-    bad = struct.pack(">iqii", 1, 0, 100, 0)
+    # (count=0, n=0) is the legitimate EMPTY digest serialize() emits —
+    # accepted; inconsistent zero headers must still be rejected
     with pytest.raises(ValueError):
-        TDigest.from_bytes(bad)  # zero count/centroids
+        # count=0 but a centroid present
+        TDigest.from_bytes(struct.pack(">iqii", 1, 0, 100, 1) + b"\0" * 16)
+    with pytest.raises(ValueError):
+        TDigest.from_bytes(struct.pack(">iqii", 1, 5, 100, 0))  # count w/o centroids
+    with pytest.raises(ValueError):
+        TDigest.from_bytes(struct.pack(">iqii", 1, 0, 9, 0))  # bad compression
 
 
 # ----------------------------------------------------------------------
@@ -390,3 +396,37 @@ def test_nan_values_skipped():
     d = TDigest(100)
     d.add_values([1.0, float("nan"), 3.0])
     assert d.count == 2
+
+
+def test_nan_value_count_dropped_both_regimes():
+    """NaN values are dropped by add_value_count regardless of count —
+    the huge-count generate path used to poison the digest with NaN
+    centroids (making its own to_bytes output unreadable) while the
+    small-count path silently dropped."""
+    d = TDigest(100)
+    d.add_value_count(float("nan"), 3)            # small: buffered path
+    d.add_value_count(float("nan"), 10**6)        # huge: generate path
+    assert d.count == 0
+    d.add_value_count(1.5, 10**6)
+    assert d.count == 10**6
+    # round trip stays valid
+    assert TDigest.from_bytes(d.to_bytes()).count == 10**6
+
+
+def test_add_centroids_rejects_nan_mean():
+    d = TDigest(100)
+    with pytest.raises(ValueError, match="NaN"):
+        d.add_centroids([1.0, float("nan")], [1, 2])
+
+
+def test_empty_digest_binary_roundtrip():
+    """serialize() emits a header-only blob for an empty digest;
+    from_bytes must accept it back (text format stays reference-strict)."""
+    d = TDigest(250)
+    blob = d.to_bytes()
+    back = TDigest.from_bytes(blob)
+    assert back.count == 0 and back.compression == 250
+    assert back.centroid_arrays()[0].size == 0
+    # and it behaves like a fresh digest afterwards
+    back.add_values([1.0, 2.0, 3.0])
+    assert back.count == 3

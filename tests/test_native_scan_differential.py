@@ -161,3 +161,84 @@ def test_random_conjunction_grid_matches(spark, table):
         )
         want = flt.count()
         assert got == want, f"trial {trial}"
+
+
+def test_schema_evolved_table_falls_back_and_matches(spark, tmp_path_factory):
+    """A table where older files lack a newer column must NOT take the
+    native path (pyarrow's get_field_index would wrap -1 to the last
+    column, silently folding the wrong data); the Catalyst fallback
+    null-fills and the aggregate matches GROUP BY counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("evolved")
+    pq.write_table(
+        pa.table({"k": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]}),
+        str(d / "old.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"k": ["a", "b"], "v": [4.0, 5.0], "w": [10.0, 20.0]}
+        ),
+        str(d / "new.parquet"),
+    )
+    tbl = spark.read.option("mergeSchema", "true").parquet(str(d)).select("k", "w")
+    assert arrow_agg._native_parquet_splits(tbl, ["k", "w"]) is None
+    got = {
+        r["k"]: r["count"]
+        for r in tdigest_count_agg(tbl, "w", 100, keys=["k"]).collect()
+    }
+    # nulls from the old file are dropped by the digest fold: one w per key
+    assert got == {"a": 1, "b": 1}
+
+
+def test_float_in_negative_zero_matches_catalyst(spark, tmp_path_factory):
+    """Pushed-down IN over doubles must treat -0.0 == 0.0 like Spark
+    (Arrow's hash-based is_in distinguishes them)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path_factory.mktemp("negzero") / "t.parquet")
+    pq.write_table(
+        pa.table({"k": ["a", "a", "a", "b"], "x": [-0.0, 0.0, 1.0, 5.0]}), path
+    )
+    tbl = spark.read.parquet(path).filter(F.col("x").isin(0.0, 5.0)).select("k", "x")
+    assert arrow_agg._native_parquet_splits(tbl, ["k", "x"]) is not None
+    got = {
+        r["k"]: r["count"]
+        for r in tdigest_count_agg(tbl, "x", 100, keys=["k"]).collect()
+    }
+    want = {
+        r["k"]: r["n"]
+        for r in tbl.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want == {"a": 2, "b": 1}
+
+
+def test_group_slices_empty_batch_and_radix_overflow(monkeypatch):
+    """_group_slices: a 0-row keyed batch yields no groups (was an
+    IndexError), and the lexsort fallback for radix-overflowing key
+    widths produces exactly the packed-radix groups."""
+    import pyarrow as pa
+
+    empty = pa.record_batch({"k": pa.array([], pa.string()), "v": pa.array([], pa.float64())})
+    assert list(arrow_agg._group_slices(empty, ["k"])) == []
+    assert next(iter(arrow_agg._group_slices(empty, [])))[0] == (0,)
+
+    rng = np.random.RandomState(11)
+    batch = pa.record_batch(
+        {
+            "a": pa.array(rng.choice(["x", "y", None], 500).tolist()),
+            "b": pa.array(rng.randint(0, 7, 500)),
+            "c": pa.array(rng.choice([1.5, 2.5, None], 500).tolist()),
+        }
+    )
+    def norm(slices):
+        return sorted(
+            ((key, rows.tolist()) for key, rows in slices),
+            key=repr,  # keys may contain None
+        )
+    radix = norm(arrow_agg._group_slices(batch, ["a", "b", "c"]))
+    monkeypatch.setattr(arrow_agg, "_RADIX_MAX", 2)
+    lex = norm(arrow_agg._group_slices(batch, ["a", "b", "c"]))
+    assert lex == radix and len(radix) > 10
