@@ -45,19 +45,21 @@ class Reservoir:
             return
         self.n += h.size
         with np.errstate(over="ignore"):
-            prio = splitmix64(as_u64(h) + np.uint64(self.seed))
+            # mask the seed into uint64 range: np.uint64(negative)
+            # raises OverflowError on NumPy 2.x
+            seed_u = np.uint64(self.seed & 0xFFFFFFFFFFFFFFFF)
+            prio = splitmix64(as_u64(h) + seed_u)
         all_p = np.concatenate([self.prios, prio])
         all_h = np.concatenate([self.hashes, h])
         # dedupe by priority exactly like merge() does — the sketch is a
         # bottom-k over DISTINCT hashes at every stage, otherwise a
         # duplicate arriving twice in one partition occupies two slots
         # (evicting the k-th distinct element) and the sample stops
-        # being partition-invariant
+        # being partition-invariant.  np.unique returns priorities
+        # already ascending, so the bottom-k is a plain slice
         _, uniq = np.unique(all_p, return_index=True)
-        all_p, all_h = all_p[uniq], all_h[uniq]
-        order = np.argsort(all_p, kind="stable")[: self.k]
-        self.prios = all_p[order]
-        self.hashes = all_h[order]
+        self.prios = all_p[uniq][: self.k]
+        self.hashes = all_h[uniq][: self.k]
 
     def merge(self, other: "Reservoir") -> None:
         if (other.k, other.seed) != (self.k, self.seed):
@@ -65,12 +67,11 @@ class Reservoir:
         all_p = np.concatenate([self.prios, other.prios])
         all_h = np.concatenate([self.hashes, other.hashes])
         # dedupe identical rows sampled on both sides (same hash → same
-        # priority), then keep the k smallest priorities
+        # priority), then keep the k smallest priorities (np.unique
+        # output is already ascending by priority)
         _, uniq = np.unique(all_p, return_index=True)
-        all_p, all_h = all_p[uniq], all_h[uniq]
-        order = np.argsort(all_p, kind="stable")[: self.k]
-        self.prios = all_p[order]
-        self.hashes = all_h[order]
+        self.prios = all_p[uniq][: self.k]
+        self.hashes = all_h[uniq][: self.k]
         self.n += other.n
 
     def sample_hashes(self) -> np.ndarray:

@@ -7,7 +7,7 @@
   never O(n).
 * ``cosine_pairs_above``     — all-pairs similarity join above a
   threshold for moderate corpus sizes (exact verifier for near-dup).
-* ``rp_lsh_buckets`` / ``rp_lsh_topk`` — random-hyperplane LSH: L
+* ``rp_lsh_buckets`` / ``rp_lsh_candidate_pairs`` — random-hyperplane LSH: L
   independent b-bit sign buckets per vector; candidates share a bucket
   in ≥1 table.  This is the 100 TB path: bucketing is a narrow map, the
   candidate join is an equi-join on (table, bucket).
@@ -84,7 +84,10 @@ def cosine_topk(
             rows = np.arange(len(qids_))[:, None]
             best_sims = all_sims[rows, sel]
             best_ids = all_ids[rows, sel]
-        mask = best_ids.ravel() >= 0
+        # unfilled slots keep sim=-inf — mask on the sims, NOT on
+        # id >= 0: legitimate neighbor ids may be negative (e.g.
+        # xxhash64-derived), and -1 is only the placeholder id
+        mask = np.isfinite(best_sims.ravel())
         yield pd.DataFrame(
             {
                 "query_id": np.repeat(qids_, k)[mask],
@@ -197,6 +200,13 @@ def rp_lsh_buckets(
     """Random-hyperplane LSH: per vector, L sign-pattern bucket ids.
     Vectors within angle θ collide in one table with prob
     (1 - θ/π)^b per table."""
+    if not 1 <= n_bits <= 32:
+        # bucket id layout is sign_pattern | (table << 32): more than
+        # 32 sign bits would bleed into the table tag (cross-table
+        # collisions), and >=63 overflows the int64 weights outright
+        raise ValueError(f"n_bits must be in [1, 32], got {n_bits}")
+    if not 1 <= n_tables <= (1 << 31):
+        raise ValueError(f"n_tables must be positive, got {n_tables}")
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_tables, n_bits, dim)
 

@@ -188,27 +188,45 @@ def countmin_sketch(
     )
 
 
+def _lookup_sketch(cache: dict, last: list, blob, from_bytes):
+    """Per-row sketch resolution without hashing the whole blob each
+    row: consecutive rows almost always carry the same (large) sketch
+    blob, so an identity/equality check against the previous row's blob
+    skips both the ``bytes()`` copy and the dict hash of ~10-100 KB."""
+    if last[0] is not None and (blob is last[0] or blob == last[0]):
+        return last[1]
+    bb = bytes(blob)
+    sk = cache.get(bb)
+    if sk is None:
+        sk = cache[bb] = from_bytes(bb)
+    last[0], last[1] = blob, sk
+    return sk
+
+
 def countmin_estimate(sketch: Column, probe: Column) -> Column:
     """Estimated frequency of ``probe`` (any type) in the sketch.
     The probe is hashed JVM-side with the same xxhash64."""
-    probe_hash = F.when(probe.isNotNull(), F.xxhash64(probe))
+    # the hash column must be NON-nullable: a single null in a pandas
+    # batch turns the int64 series into float64, silently rounding
+    # 63-bit hashes (≈all of them exceed 2^53) to wrong bit positions.
+    # Nulls are carried as a separate boolean mask instead.
+    probe_hash = F.coalesce(F.xxhash64(probe), F.lit(0))
 
     @pandas_udf(LongType())
-    def f(s: pd.Series, h: pd.Series) -> pd.Series:
+    def f(s: pd.Series, h: pd.Series, isnull: pd.Series) -> pd.Series:
         cache: dict[bytes, CountMin] = {}
+        last: list = [None, None]
+        hv_arr = h.to_numpy(dtype=np.int64)  # exact: no nulls by construction
         out = []
-        for blob, hv in zip(s, h):
-            if blob is None or hv is None or (isinstance(hv, float) and np.isnan(hv)):
+        for i, (blob, nul) in enumerate(zip(s, isnull)):
+            if blob is None or nul:
                 out.append(None)
                 continue
-            bb = bytes(blob)
-            cm = cache.get(bb)
-            if cm is None:
-                cm = cache[bb] = CountMin.from_bytes(bb)
-            out.append(int(cm.estimate_hashes(np.array([hv], dtype=np.int64))[0]))
+            cm = _lookup_sketch(cache, last, blob, CountMin.from_bytes)
+            out.append(int(cm.estimate_hashes(hv_arr[i : i + 1])[0]))
         return pd.Series(out, dtype="object")
 
-    return f(sketch, probe_hash)
+    return f(sketch, probe_hash, probe.isNull())
 
 
 def countmin_total(sketch: Column) -> Column:
@@ -247,25 +265,27 @@ def bloom_filter(
 
 
 def bloom_might_contain(sketch: Column, probe: Column) -> Column:
-    """Membership probe (no false negatives)."""
-    probe_hash = F.when(probe.isNotNull(), F.xxhash64(probe))
+    """Membership probe (no false negatives).  Hash column kept
+    non-nullable + separate null mask — see countmin_estimate for why
+    (float64 coercion would corrupt hashes and break the no-false-
+    negative contract)."""
+    probe_hash = F.coalesce(F.xxhash64(probe), F.lit(0))
 
     @pandas_udf(BooleanType())
-    def f(s: pd.Series, h: pd.Series) -> pd.Series:
+    def f(s: pd.Series, h: pd.Series, isnull: pd.Series) -> pd.Series:
         cache: dict[bytes, Bloom] = {}
+        last: list = [None, None]
+        hv_arr = h.to_numpy(dtype=np.int64)
         out = []
-        for blob, hv in zip(s, h):
-            if blob is None or hv is None or (isinstance(hv, float) and np.isnan(hv)):
+        for i, (blob, nul) in enumerate(zip(s, isnull)):
+            if blob is None or nul:
                 out.append(None)
                 continue
-            bb = bytes(blob)
-            bl = cache.get(bb)
-            if bl is None:
-                bl = cache[bb] = Bloom.from_bytes(bb)
-            out.append(bool(bl.contains_hashes(np.array([hv], dtype=np.int64))[0]))
+            bl = _lookup_sketch(cache, last, blob, Bloom.from_bytes)
+            out.append(bool(bl.contains_hashes(hv_arr[i : i + 1])[0]))
         return pd.Series(out, dtype="object")
 
-    return f(sketch, probe_hash)
+    return f(sketch, probe_hash, probe.isNull())
 
 
 # ----------------------------------------------------------------------
@@ -327,6 +347,11 @@ def kll_quantile(
         lambda s: s.to_bytes(), fin,
         [StructField(result_col, DoubleType(), True)],
         salt=salt,
+        # without merge_bytes, salt raised at plan time and the
+        # ungrouped bounded fan-in tree merge was disabled
+        merge_bytes=lambda blobs: merge_all_kll(
+            KLL.from_bytes(b) for b in blobs
+        ).to_bytes(),
     )
 
 

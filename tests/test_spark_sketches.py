@@ -116,3 +116,93 @@ def test_kll_sketch_and_rank(events):
     pdf = events.select("value").toPandas()["value"].to_numpy()
     exact = (pdf <= 15.0).mean()
     assert abs(med_rank - exact) < 0.03
+
+
+# ----------------------------------------------------------------------
+# regression: nullable probes must not corrupt int64 hashes via float64
+# ----------------------------------------------------------------------
+def test_bloom_no_false_negatives_with_null_probe_in_batch(spark):
+    """A NULL probe in the same pandas batch used to flip the whole
+    hash series to float64, rounding 63-bit hashes and producing false
+    negatives."""
+    vals = [f"member-{i}" for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    blm = bloom_filter(df, "v", m=1 << 16, k=5).collect()[0]["bloom"]
+    probes = [(bytes(blm), v) for v in vals] + [(bytes(blm), None)]
+    pdf = spark.createDataFrame(probes, ["bloom", "probe"]).coalesce(1)
+    got = pdf.select(
+        "probe", bloom_might_contain(F.col("bloom"), F.col("probe")).alias("hit")
+    ).collect()
+    by = {r["probe"]: r["hit"] for r in got}
+    assert by[None] is None
+    misses = [v for v in vals if by[v] is not True]
+    assert misses == [], f"false negatives: {misses[:5]}"
+
+
+def test_countmin_overestimates_with_null_probe_in_batch(spark):
+    rows = [("k%d" % (i % 50),) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["v"])
+    cm = countmin_sketch(df, "v").collect()[0]["countmin"]
+    probes = [(bytes(cm), "k7"), (bytes(cm), None), (bytes(cm), "k7")]
+    pdf = spark.createDataFrame(probes, ["cm", "probe"]).coalesce(1)
+    got = [
+        r["est"]
+        for r in pdf.select(
+            countmin_estimate(F.col("cm"), F.col("probe")).alias("est")
+        ).collect()
+    ]
+    assert got[1] is None
+    assert got[0] == got[2] and got[0] >= 100  # est >= true count (100)
+
+
+def test_kll_quantile_salted(events):
+    """salt= used to raise 'salt requires merge_bytes' at plan time."""
+    plain = {
+        r["event_type"]: r["quantile"]
+        for r in kll_quantile(events, "value", 0.5, keys=["event_type"]).collect()
+    }
+    salted = {
+        r["event_type"]: r["quantile"]
+        for r in kll_quantile(
+            events, "value", 0.5, keys=["event_type"], salt=4
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert abs(plain[k] - salted[k]) <= 0.1 * max(1.0, abs(plain[k]))
+
+
+def test_cosine_topk_negative_ids(spark):
+    """Corpus ids may be negative (xxhash64-derived) — the unfilled-slot
+    mask must not drop them."""
+    from tdigest_spark.similarity import cosine_topk
+
+    rows = [
+        (-5, [1.0, 0.0]),
+        (-4, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    res = cosine_topk(df, "vec_id", "embedding", [(100, [1.0, 0.0])], k=2).collect()
+    got = [r["neighbor_id"] for r in sorted(res, key=lambda r: r["rank"])]
+    assert got == [-5, -4]
+
+
+def test_rp_lsh_buckets_rejects_bad_n_bits(spark):
+    from tdigest_spark.similarity import rp_lsh_buckets
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="n_bits"):
+        rp_lsh_buckets(df, "vec_id", "embedding", dim=2, n_bits=33)
+    with pytest.raises(ValueError, match="n_bits"):
+        rp_lsh_buckets(df, "vec_id", "embedding", dim=2, n_bits=0)
+
+
+def test_reservoir_negative_seed():
+    from tdigest_spark.kernel.reservoir import Reservoir
+
+    r = Reservoir(10, seed=-1)
+    r.add_hashes(np.arange(100, dtype=np.int64))
+    assert r.sample_hashes().size == 10
+    back = Reservoir.from_bytes(r.to_bytes())
+    assert np.array_equal(back.sample_hashes(), r.sample_hashes())
