@@ -150,6 +150,11 @@ def build_partial_digests(
                     bundle, needed, ops, sources, predicate, pred_part, pred_data
                 )
                 for gkey, blob, n_rows, n_cent in fold_batches(batches):
+                    if not keys:
+                        # ungrouped: _group_slices yields the sentinel
+                        # (0,) key, which has no schema field — emitting
+                        # it would shift every column right by one
+                        gkey = ()
                     yield (
                         *gkey,
                         bytearray(blob) if blob is not None else None,
@@ -229,11 +234,12 @@ def verify_lineage(partials: DataFrame, expected_rows: int | None = None) -> dic
         F.sum(TF.tdigest_count(F.col("digest"))).alias("dcount"),
     ).collect()[0]
     total_count = int(rows["dcount"] or 0)
-    ok = total_count == rows["rows"] and (
-        expected_rows is None or rows["rows"] == expected_rows
+    total_rows = int(rows["rows"] or 0)  # SUM over zero rows is NULL
+    ok = total_count == total_rows and (
+        expected_rows is None or total_rows == expected_rows
     )
     return {
-        "rows_consumed": int(rows["rows"]),
+        "rows_consumed": int(total_rows),
         "digest_total_count": int(total_count),
         "n_partial_digests": int(rows["groups"]),
         "consistent": bool(ok),

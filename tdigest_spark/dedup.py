@@ -79,19 +79,12 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    from tdigest_spark.kernel.hashing import kgram_poly_hashes
+
     data = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
-    n = data.size - k + 1
-    if n <= 0:
+    if data.size < k:  # short doc: pad with spaces to one shingle
         data = np.pad(data, (0, k - data.size), constant_values=32)
-        n = 1
-    with np.errstate(over="ignore"):
-        powers = np.empty(k, dtype=np.uint64)
-        powers[0] = np.uint64(1)
-        for i in range(1, k):
-            powers[i] = powers[i - 1] * np.uint64(1000003)
-        win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-        h = (win * powers[::-1]).sum(axis=1, dtype=np.uint64)
-    return np.unique(splitmix64(h))
+    return np.unique(splitmix64(kgram_poly_hashes(data, k)))
 
 
 def _perm_coeffs(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
@@ -241,13 +234,22 @@ def lsh_candidate_pairs(
 
     ``num_hashes``: signature length; pass it to keep the plan
     action-free (when None, one bounded ``first()`` probes it)."""
-    n_hashes = (
-        num_hashes
-        if num_hashes is not None
-        else len(sig_df.select(sig_col).first()[0])
-    )
+    if num_hashes is not None:
+        n_hashes = num_hashes
+    else:
+        # probe a NON-NULL signature (null-text docs carry NULL
+        # signatures, and an all-null/empty frame has nothing to band)
+        row = (
+            sig_df.filter(F.col(sig_col).isNotNull()).select(sig_col).first()
+        )
+        if row is None:
+            return sig_df.sparkSession.createDataFrame([], "id_a long, id_b long")
+        n_hashes = len(row[0])
     rows_per_band = n_hashes // bands
-    banded = sig_df.select(
+    # null signatures (null-text docs) must not band: xxhash64 over a
+    # NULL slice is a constant, so every null-sig doc would collide
+    # with every other in all bands
+    banded = sig_df.filter(F.col(sig_col).isNotNull()).select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -606,7 +608,7 @@ def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iters: int = 20,
+    max_iters: int = 50,
 ) -> DataFrame:
     """Connected components over duplicate pairs → (doc_id, cluster_id)
     with cluster_id = min id of the component (transitive dedup groups:
@@ -616,6 +618,11 @@ def dup_clusters(
     smallest label in its neighborhood; converges in O(component
     diameter) rounds (near-dup clusters are shallow, so a handful).
     Each round is one groupBy shuffle on node id — no driver-side graph.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iters`` rounds — returning silently would split a
+    wide-diameter component into several clusters, and downstream dedup
+    would keep extra duplicate representatives with no signal.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -652,6 +659,11 @@ def dup_clusters(
         labels = updated.drop("old_label")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in max_iters={max_iters} rounds "
+            "(a component's diameter exceeds the budget); raise max_iters"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -78,3 +78,21 @@ def hash_series_py(values) -> np.ndarray:
     if arr.dtype.kind == "f":
         return splitmix64(arr.astype(np.float64).view(np.uint64))
     return np.array([hash64_py(v) for v in arr], dtype=np.int64).view(np.uint64)
+
+
+def kgram_poly_hashes(data: np.ndarray, k: int, base: int = 1000003) -> np.ndarray:
+    """Rolling polynomial hash of every k-gram of a uint8 buffer:
+    ``h[i] = Σ data[i+j]·base^(k-1-j) mod 2^64`` — the shared numeric
+    core of MinHash shingling (dedup) and winnowing fingerprints
+    (text).  Empty uint64 array when the buffer is shorter than k."""
+    n = data.size - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        b = np.uint64(base)
+        powers = np.empty(k, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        for i in range(1, k):
+            powers[i] = powers[i - 1] * b
+        win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+        return (win * powers[::-1]).sum(axis=1, dtype=np.uint64)

@@ -53,6 +53,16 @@ def tdigest_quantile(digest: Column, q: float) -> Column:
     return f(digest)
 
 
+def sql_null(v) -> bool:
+    """SQL NULL as a pandas UDF sees it: None, or NaN — Arrow coerces a
+    nullable numeric column to float64, delivering NULLs as NaN, so a
+    bare ``is None`` check never fires for scalar numeric args.  (The
+    flip side: a genuine NaN literal is indistinguishable from NULL
+    here and is treated as NULL; the reference C rejects NaN inputs
+    outright, so no valid reference workload observes the difference.)"""
+    return v is None or (isinstance(v, float) and v != v)
+
+
 def tdigest_quantile_of(digest: Column, value: float) -> Column:
     vv = float(value)
 
@@ -75,7 +85,7 @@ def tdigest_add(
     def f(ds: pd.Series, vs: pd.Series) -> pd.Series:
         out = []
         for blob, v in zip(ds, vs):
-            if v is None:
+            if sql_null(v):
                 out.append(None if blob is None else bytes(blob))
                 continue
             d = _load(blob)
@@ -103,24 +113,27 @@ def tdigest_union(d1: Column, d2: Column, compact: bool = True) -> Column:
 
     @pandas_udf(BinaryType())
     def f(s1: pd.Series, s2: pd.Series) -> pd.Series:
-        out = []
-        for b1, b2 in zip(s1, s2):
-            a, b = _load(b1), _load(b2)
-            if a is None and b is None:
-                out.append(None)
-                continue
-            if a is None:
-                a, b = b, None
-            if b is not None:
-                a.add_centroids(*b.centroid_arrays(), compact_threshold=1 << 62)
-            if compact:
-                # the reference re-compacts the whole merged state, and
-                # union(NULL, d) is its documented force-compaction idiom
-                a.recompact()
-            out.append(a.to_bytes(compact=compact))
-        return pd.Series(out)
+        return pd.Series([union_pair_bytes(b1, b2, compact) for b1, b2 in zip(s1, s2)])
 
     return f(d1, d2)
+
+
+def union_pair_bytes(b1, b2, compact: bool = True) -> bytes | None:
+    """Row-level union of two serialized digests — the ONE code path
+    behind both tdigest_union (DataFrame) and the SQL-registered
+    tdigest_union, so the two surfaces can never drift byte-wise."""
+    a, b = _load(b1), _load(b2)
+    if a is None and b is None:
+        return None
+    if a is None:
+        a, b = b, None
+    if b is not None:
+        a.add_centroids(*b.centroid_arrays(), compact_threshold=1 << 62)
+    if compact:
+        # the reference re-compacts the whole merged state, and
+        # union(NULL, d) is its documented force-compaction idiom
+        a.recompact()
+    return a.to_bytes(compact=compact)
 
 
 def tdigest_json(digest: Column) -> Column:

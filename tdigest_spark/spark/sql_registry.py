@@ -42,12 +42,18 @@ def _map2_udf(ret, fn):
 
     Matches PostgreSQL's default STRICT function semantics, which is what
     the reference's scalar functions use for e.g. tdigest_percentile(d, q)
-    (a NULL quantile yields NULL, it does not raise)."""
+    (a NULL quantile yields NULL, it does not raise).  NULL numeric args
+    arrive as NaN through Arrow's float64 coercion — sql_null covers
+    both spellings."""
+    from tdigest_spark.spark.functions import sql_null
 
     @pandas_udf(ret)
     def f(s: pd.Series, t: pd.Series) -> pd.Series:
         return pd.Series(
-            [None if (a is None or b is None) else fn(a, b) for a, b in zip(s, t)],
+            [
+                None if (sql_null(a) or sql_null(b)) else fn(a, b)
+                for a, b in zip(s, t)
+            ],
             dtype="object",
         )
 
@@ -61,15 +67,18 @@ def _add_udf():
     arguments explicitly, e.g. ``tdigest_add(d, v, 100, true)``; pass a
     NULL digest with a compression to create a new digest."""
 
+    from tdigest_spark.spark.functions import sql_null
+
     @pandas_udf(BinaryType())
     def f(ds: pd.Series, vs: pd.Series, comp: pd.Series, compact: pd.Series) -> pd.Series:
         out = []
         for blob, v, c, ck in zip(ds, vs, comp, compact):
-            if v is None:
+            if sql_null(v):
                 out.append(None if blob is None else bytes(blob))
                 continue
             if blob is None:
-                if c is None:
+                # NULL int args also arrive as NaN (float64 coercion)
+                if sql_null(c):
                     raise ValueError(
                         "tdigest_add: NULL digest requires an explicit compression"
                     )
@@ -161,14 +170,10 @@ def _union_bytes(a, b):
     Note this deliberately diverges byte-wise from the reference C
     code's NULL fast path, which returns the non-NULL digest pointer
     unchanged without compacting (tdigest.c:2543-2576 both-NULL/one-NULL
-    branches); the README-documented behavior is the authority here."""
-    if a is None and b is None:
-        return None
-    if a is None:
-        a, b = b, None
-    da = TDigest.from_bytes(bytes(a))
-    if b is not None:
-        db = TDigest.from_bytes(bytes(b))
-        da.merge_digest(db)
-    da.recompact()
-    return da.to_bytes(compact=True)
+    branches); the README-documented behavior is the authority here.
+
+    Delegates to functions.union_pair_bytes so the SQL surface and the
+    DataFrame tdigest_union can never drift byte-wise."""
+    from tdigest_spark.spark.functions import union_pair_bytes
+
+    return union_pair_bytes(a, b, compact=True)

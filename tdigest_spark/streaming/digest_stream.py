@@ -189,8 +189,17 @@ def streaming_windowed_tdigest(
             if hasattr(window_start, "to_pydatetime"):
                 window_start = window_start.to_pydatetime()
             if window_start.tzinfo is None:
-                window_start = window_start.replace(tzinfo=session_tzinfo)
-            window_end_ms = int(window_start.timestamp() * 1000) + window_ms
+                # a DST-ambiguous wall time (fall-back repeated hour)
+                # maps to two instants; take the LATER one so the
+                # timeout can only fire late, never early — evicting
+                # before the watermark passes window_end would split a
+                # still-open window's digest
+                t0 = window_start.replace(tzinfo=session_tzinfo, fold=0)
+                t1 = window_start.replace(tzinfo=session_tzinfo, fold=1)
+                epoch = max(t0.timestamp(), t1.timestamp())
+            else:
+                epoch = window_start.timestamp()
+            window_end_ms = int(epoch * 1000) + window_ms
             state.setTimeoutTimestamp(
                 max(window_end_ms + 1_000, state.getCurrentWatermarkMs() + 1_000)
             )
@@ -211,6 +220,36 @@ def streaming_windowed_tdigest(
     )
 
 
+def write_batch_digests(
+    batch_df: DataFrame,
+    batch_id: int,
+    keys: Sequence[str],
+    value_col: str,
+    compression: int,
+    out_dir: str,
+) -> None:
+    """One micro-batch's per-group digests → the ``batch_id=``
+    partition of a parquet table.  Idempotent per batch: foreachBatch
+    re-runs a batch whose write finished but whose offset commit did
+    not — a plain append would then double-count every value in that
+    batch at rollup.  Dynamic partition overwrite replaces exactly this
+    batch_id's partition on re-run."""
+    if batch_df.isEmpty():
+        return
+    from pyspark.sql import functions as F
+
+    from tdigest_spark.spark.tdigest_agg import tdigest
+
+    dig = tdigest(batch_df, value_col, compression, keys=list(keys))
+    (
+        dig.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+
+
 def foreach_batch_union(
     stream_df: DataFrame,
     keys: Sequence[str],
@@ -219,23 +258,15 @@ def foreach_batch_union(
     out_dir: str,
     checkpoint_dir: str,
 ):
-    """Simpler micro-batch pattern: each batch appends its per-group
-    digests (plus batch id) to a parquet table; roll up at read time
-    with ``tdigest_union_agg``.  Restart-safe via the streaming
-    checkpoint."""
-    from tdigest_spark.spark.tdigest_agg import tdigest
-
+    """Simpler micro-batch pattern: each batch writes its per-group
+    digests to its own ``batch_id=`` partition of a parquet table
+    (dynamic partition overwrite, so batch replays are idempotent);
+    roll up at read time with ``tdigest_union_agg``.  Restart-safe via
+    the streaming checkpoint."""
     keys = list(keys)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        dig = tdigest(batch_df, value_col, compression, keys=keys)
-        from pyspark.sql import functions as F
-
-        dig.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            out_dir
-        )
+        write_batch_digests(batch_df, batch_id, keys, value_col, compression, out_dir)
 
     return (
         stream_df.writeStream.foreachBatch(handle)

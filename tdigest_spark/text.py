@@ -203,27 +203,17 @@ def content_fingerprint(text: Column) -> Column:
     return F.xxhash64(normalized)
 
 
-_WINNOW_BASE = np.uint64(1000003)
-_WINNOW_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
-
-
 def _winnow_one(text: str, k: int, window: int) -> list[int]:
     """Winnowing (Schleimer et al. 2003): k-gram rolling polynomial
-    hashes, keep the minimum of each sliding window, dedup consecutive.
-    NumPy-vectorized per document."""
+    hashes (kernel.hashing.kgram_poly_hashes — the core shared with
+    MinHash shingling), keep the minimum of each sliding window, dedup
+    consecutive.  NumPy-vectorized per document."""
+    from tdigest_spark.kernel.hashing import kgram_poly_hashes
+
     data = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
-    n = data.size - k + 1
-    if n <= 0:
+    hashes = kgram_poly_hashes(data, k)
+    if hashes.size == 0:
         return []
-    with np.errstate(over="ignore"):
-        powers = np.empty(k, dtype=np.uint64)
-        powers[0] = np.uint64(1)
-        for i in range(1, k):
-            powers[i] = powers[i - 1] * _WINNOW_BASE
-        # hash of each k-gram: sum(byte[i] * base^(k-1-i)) — computed via
-        # sliding windows (stride trick) x reversed powers
-        win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-        hashes = (win * powers[::-1]).sum(axis=1, dtype=np.uint64)
     if hashes.size <= window:
         return [int(hashes.min().view(np.int64))]
     mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)

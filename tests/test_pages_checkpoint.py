@@ -105,3 +105,53 @@ def test_checkpointed_percentile_matches_direct(spark, tmp_path_factory):
         xs = np.sort(sub["text_len"].to_numpy())
         rank = np.searchsorted(xs, res[lang], side="right") / len(xs)
         assert abs(rank - 0.95) < 0.02, (lang, res[lang], rank)
+
+
+def test_checkpoint_ungrouped_native_scan(spark, tmp_path_factory):
+    """keys=() on the native-scan path: the _group_slices sentinel key
+    must NOT be emitted (it shifted every column right by one)."""
+    src = str(tmp_path_factory.mktemp("ck_ungrouped") / "t.parquet")
+    spark.range(10_000).select(
+        (F.col("id") % 97).cast("double").alias("v")
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    ck = str(tmp_path_factory.mktemp("ck_ungrouped_out"))
+    partials = build_partial_digests(df, (), "v", 100, ck)
+    assert set(partials.columns) == {
+        "digest", "split_id", "n_rows", "n_centroids", "n_bytes"
+    }
+    info = verify_lineage(partials, expected_rows=10_000)
+    assert info["consistent"] and info["rows_consumed"] == 10_000
+
+
+def test_verify_lineage_empty_checkpoint(spark, tmp_path_factory):
+    """Zero-row partials: SUM() is NULL — must report zeros, not raise."""
+    src = str(tmp_path_factory.mktemp("ck_empty") / "t.parquet")
+    spark.range(100).select(
+        F.col("id").cast("double").alias("v"), (F.col("id") % 3).alias("g")
+    ).filter(F.col("v") < -1).write.parquet(src)
+    df = spark.read.parquet(src)
+    ck = str(tmp_path_factory.mktemp("ck_empty_out"))
+    partials = build_partial_digests(df, ("g",), "v", 100, ck)
+    info = verify_lineage(partials)
+    assert info["rows_consumed"] == 0 and info["digest_total_count"] == 0
+    assert info["consistent"]
+
+
+def test_write_batch_digests_replay_idempotent(spark, tmp_path_factory):
+    """Re-running the same batch_id (foreachBatch replay after a crash
+    between write and offset commit) must not double-count."""
+    from tdigest_spark.spark.functions import tdigest_count
+    from tdigest_spark.streaming.digest_stream import write_batch_digests
+
+    out = str(tmp_path_factory.mktemp("fbu_out"))
+    batch = spark.range(5_000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 101).cast("double").alias("v")
+    )
+    write_batch_digests(batch, 7, ["g"], "v", 100, out)
+    write_batch_digests(batch, 7, ["g"], "v", 100, out)  # replay
+    rolled = spark.read.parquet(out)
+    total = rolled.agg(
+        F.sum(tdigest_count(F.col("tdigest"))).alias("n")
+    ).collect()[0]["n"]
+    assert total == 5_000

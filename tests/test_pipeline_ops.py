@@ -552,3 +552,35 @@ def test_normalize_url_idempotent(spark):
     )
     bad = twice.filter(F.col("c1") != F.col("c2")).collect()
     assert bad == [], f"non-idempotent: {bad[:5]}"
+
+
+def test_lsh_pairs_null_text_and_empty(spark, docs_with_dups):
+    """NULL-text docs carry NULL signatures: they must neither crash the
+    signature-length probe nor collide with each other in every band."""
+    nulled = docs_with_dups.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.col("text")).alias("text"),
+    )
+    sigs = dedup.minhash_signatures(nulled, "doc_id", "text")
+    # force the probe path to see a null first: sort nulls first
+    sigs_null_first = sigs.orderBy(F.col("minhash").isNotNull())
+    pairs = dedup.lsh_candidate_pairs(sigs_null_first, "doc_id").collect()
+    ids = {i for r in pairs for i in (r["id_a"], r["id_b"])}
+    assert ids, "even-id exact copies must still be found"
+    assert all(i % 2 == 0 for i in ids), "null-sig docs must never pair"
+    # empty frame: no probe crash, empty result
+    empty = sigs.filter(F.lit(False))
+    assert dedup.lsh_candidate_pairs(empty, "doc_id").count() == 0
+
+
+def test_dup_clusters_chain_convergence_and_raise(spark):
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], ["id_a", "id_b"]
+    )
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(chain).collect()
+    }
+    assert set(labels.values()) == {0}  # one component, min-label 0
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.dup_clusters(chain, max_iters=3)

@@ -280,3 +280,48 @@ def test_tdigest_rollup_grouping_sets(spark):
         for r in li.groupBy("l_linestatus").agg(F.count("*").alias("n")).collect()
     }
     assert per_status == want_status
+
+
+def test_sql_null_numeric_args_are_null_not_nan(spark):
+    """SQL NULL numeric args reach pandas UDFs as NaN (Arrow float64
+    coercion) — the scalar functions must treat them as NULL: STRICT
+    NULL-out for quantile/quantile_of, passthrough for tdigest_add."""
+    from tdigest_spark.spark.sql_registry import register_sql_functions
+    from tdigest_spark.spark.tdigest_agg import tdigest
+
+    register_sql_functions(spark)
+    dig = tdigest(
+        spark.range(1000).select((F.col("id") % 97).cast("double").alias("v")),
+        "v", 100,
+    )
+    dig.createOrReplaceTempView("nulltest_digest")
+    row = spark.sql(
+        """
+        SELECT tdigest_quantile(tdigest, CAST(NULL AS DOUBLE)) AS q,
+               tdigest_quantile_of(tdigest, CAST(NULL AS DOUBLE)) AS qo,
+               tdigest_count(
+                   tdigest_add(tdigest, CAST(NULL AS DOUBLE),
+                               CAST(NULL AS INT), true)) AS n_after_null_add,
+               tdigest_add(CAST(NULL AS BINARY), CAST(NULL AS DOUBLE),
+                           CAST(NULL AS INT), true) AS null_null
+        FROM nulltest_digest
+        """
+    ).collect()[0]
+    assert row["q"] is None and row["qo"] is None
+    assert row["n_after_null_add"] == 1000  # digest unchanged
+    assert row["null_null"] is None
+
+
+def test_dataframe_tdigest_add_null_value_passthrough(spark):
+    from tdigest_spark.spark import functions as TF
+    from tdigest_spark.spark.tdigest_agg import tdigest
+
+    dig = tdigest(
+        spark.range(100).select(F.col("id").cast("double").alias("v")), "v", 100
+    )
+    out = dig.select(
+        TF.tdigest_count(
+            TF.tdigest_add(F.col("tdigest"), F.lit(None).cast("double"))
+        ).alias("n")
+    ).collect()[0]
+    assert out["n"] == 100
