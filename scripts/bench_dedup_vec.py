@@ -72,7 +72,14 @@ def simhash64_r2(text):
 
 
 def minhash_signatures_r2(df, id_col, text_col, num_hashes=128, shingle_k=5):
-    """Round-2 baseline: per-doc permutation matrix in a Python loop."""
+    """Round-2 COST-MODEL baseline: per-doc permutation matrix in a
+    Python loop with the mod-Mersenne fold (multiply + add + modulo +
+    min per element, the arithmetic shape r2 shipped).  NOTE: the
+    coefficients come from the current full-range-uint64 family, so the
+    hash VALUES are not the r2 family's (products wrap mod 2^64 before
+    the Mersenne reduction) — this baseline exists to time the fold,
+    not to reproduce r2 signatures, and the published speedups compare
+    wall time only."""
     a, b = _perm_coeffs(num_hashes)
 
     @pandas_udf(ArrayType(LongType()))

@@ -39,9 +39,11 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        ran += 1
         t0 = time.time()
         try:
             got = fn(spark, SF_DIR).toPandas()
@@ -74,7 +76,10 @@ def main() -> int:
             print("  oracle:", want.head(3).to_dict("records"))
         else:
             print(f"PASS {name}: {len(got)} rows ({dt:.1f}s)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    # count only queries that actually RAN — with a subset filter,
+    # skipped queries must not be reported as passing
+    print(f"\n{ran - len(failures)}/{ran} queries pass"
+          + (f" ({len(qs) - ran} skipped by filter)" if ran < len(qs) else ""))
     return 1 if failures else 0
 
 

@@ -55,8 +55,17 @@ print(json.dumps({"cores": cores, "rows": n, "sec": round(best, 3),
 
 
 def ensure_pages(n_rows: int) -> None:
+    # the cache is only valid for the SAME row count: a smoke run at
+    # n=1000 must not leave a tiny table that a later 24M-row run
+    # silently times (task-dispatch floor instead of scan throughput)
+    meta_path = PAGES.rstrip("/") + "_meta.json"
     if os.path.exists(os.path.join(PAGES, "_SUCCESS")):
-        return
+        try:
+            with open(meta_path) as fh:
+                if json.load(fh).get("n_rows") == n_rows:
+                    return
+        except OSError:
+            pass  # no meta: regenerate to be safe
     code = (
         "import sys; sys.path.insert(0, %r)\n"
         "from tdigest_spark.spark.session import get_spark\n"
@@ -66,6 +75,8 @@ def ensure_pages(n_rows: int) -> None:
         "write_pages(spark, %r, %d, partitions=64, partition_by=None)\n"
     ) % (ROOT, PAGES, n_rows)
     subprocess.run([sys.executable, "-c", code], check=True)
+    with open(meta_path, "w") as fh:
+        json.dump({"n_rows": n_rows}, fh)
 
 
 def run_level(cores: int) -> dict:
@@ -105,9 +116,11 @@ def main() -> None:
     }
     print(json.dumps(result, indent=2))
 
-    with open(os.path.join(ROOT, "BENCH.md"), "w") as f:
-        f.write(f"""# BENCH — measured performance of this repo
-
+    # splice ONLY the marked scaling section into BENCH.md — the rest
+    # of the file carries separately-measured sections (readme
+    # experiment, dedup vectorization, suite timings) that a scaling
+    # rerun must not clobber with stale template copies
+    section = f"""<!-- scaling:begin -->
 ## Scaling efficiency (BASELINE target ≥ 0.8 from N to 4N executors)
 
 No real cluster exists in this sandbox, so per the driver instruction
@@ -136,106 +149,20 @@ cluster each executor owns its cache/memory bus, which the 4→16 pair —
 below the single-box ceiling — approximates: **{eff_4_16:.3f} ≥ 0.8**.
 
 Reproduce: `python scripts/scaling_bench.py {n_rows}`
+<!-- scaling:end -->"""
 
-## Reference comparison — the README experiment, same shape (BASELINE.md)
-
-Apples-to-apples rerun of the reference's one published experiment
-(`scripts/readme_bench.py`): 10,000,000 rows `(a int, b int, c double)`,
-`tdigest_percentile(c, 100, 0.95) GROUP BY a`, wall time of the full
-query including the table scan, median of 3 after warm-up:
-
-| engine | 1 core | 4 cores | 32 cores |
-|---|---|---|---|
-| PostgreSQL + tdigest ext (published) | 2,873 ms | 894 ms | — |
-| this repo | 1,672 ms | 938 ms | 637 ms |
-
-Single-core, this engine is **0.58×** the reference (1.7× faster); at
-4 cores it is **1.05×** (round-3 fixes: byte-sized reader batches fold
-more values per compact, and the 10-row ORDER BY no longer pays a
-RangePartitioning sampling job); by local[32] the whole job runs well
-inside the reference's 4-worker time.  Throughput-wise the kernel
-alone builds digests at ~38M values/s/core (~10× the reference's
-per-core rate); end-to-end the partial phase reads parquet splits
-directly with pyarrow (see arrow_agg.py native scan), so scan-side
-throughput is decode-bound, not exchange-bound.
-
-### Volume headroom
-
-Same query shape at 10× the reference's published experiment:
-100,000,000 rows `(a int, c double)` grouped p95 at local[32] runs in
-**1.28 s ≈ 77.9M rows/s** (median of 3; 10M rows takes 0.64 s — the
-~0.5 s Spark job floor dominates small runs, so tenfold data costs only
-~2× the time).  Per-core steady-state throughput ≈ 2.4M rows/s, ~40×
-the reference's published per-backend rate on the same workload.
-Reproduce: generate with `spark.range(1e8)` + `F.rand` as in
-`scripts/readme_bench.py` and time `tdigest_percentile(t, 'c', 100,
-0.95, keys=['a'])`.
-
-## Accuracy (scripts/accuracy.py — analog of reference scripts/accuracy.sql)
-
-RMS relative-rank error of the 1..999-permille percentile vector vs
-exact, 100k values: within the reference bands (c=100 → 0.03-0.6% on
-continuous unimodal data; 1.4-1.8% only on pow4/bimodal-gap stress
-shapes where the t-digest merge criterion itself interpolates across
-empty value ranges — the reference's criterion shares this behavior).
-16-way merged digests stay within the c=100 band (0.25-0.8% on
-unimodal shapes).
-
-## Dedup fingerprint vectorization (scripts/bench_dedup_vec.py)
-
-Round-3 rewrite: SimHash token hashing runs JVM-side (split + xxhash64
-Catalyst expressions) with a single-unpackbits NumPy majority vote;
-MinHash's permutation fold is vectorized across docs (in-place
-multiply-add on a reused scratch buffer + minimum.reduceat) and its
-permutation family is now a_i·x + b_i mod 2^64 with odd a_i — a true
-bijection of the shingle space, statistically clean (bias +0.0004,
-RMSE at the 128-slot binomial floor) and 4.3× faster than the
-mod-Mersenne fold it replaces.
-End-to-end docs/s vs the round-2 per-token-Python baselines, 100k docs
-× 150 tokens, local[8], best of 3 on a pre-warmed worker pool:
-
-| corpus | simhash r2 | simhash now (bulk) | speedup | minhash r2 | minhash now |
-|---|---|---|---|---|---|
-| web-like, 500k vocab (zipf) | 38,710 | 95,998 | **2.5×** | 7,452 | 20,332 (**2.7×**) |
-| uniform 16M vocab (cache-hostile) | 25,569 | 107,339 | **4.2×** | — | — |
-
-The r2 baseline's per-batch token cache keeps it competitive on
-small-vocabulary fixtures (the sf documents table has ~31 distinct
-words: ~1.2×) and benefits from the zipf head on web-like text; the
-structural win is that NO per-token interpreted Python remains, so the
-new path's throughput is vocabulary-independent (96k vs 107k docs/s
-across corpora) while the baseline degrades toward the cache-hostile
-row — the realistic worst case for web text (URLs, hashes, typos).
-`simhash_fingerprints` (mapInArrow, zero-copy list buffers) is the
-bulk form; the Column form shares the same vote kernel and emits
-identical fingerprints.  The residual gap to a larger headline number
-is the fixed scan + Arrow-transfer floor shared by both paths, not
-fingerprint compute.
-
-## Suite timings
-
-`bench.py` (sf0.1, local[32]) prints one JSON line per run; the driver
-records it as BENCH_r{{N}}.json.  Queries are measured as the median
-of 3 runs after a full warmup pass (round 3 — the reference's own
-harness averages 10 loops); `flagship_docs_per_sec` is the grouped-p95
-build rate over the 10M-row README table, volume-dominated and
-reproducible within ±10% (measured 17.5M / 18.9M rows/s across
-back-to-back runs).  Round-3 suite: total 3.78 s (r02: 6.03 s, −37%);
-the two r02 regressions recovered well below their r01 times
-(percentile_of_grouped 0.37 s vs r01 0.59; preagg_then_rollup 0.91 s
-vs r01 1.38).
-
-Two fixed-overhead sources were removed this round: the package
-namespace is lazy (PEP 562 — a fresh python worker no longer imports
-every aggregate module + pandas on its first task), and the engine's
-Arrow→NumPy conversions route through pyarrow-native fill/cast +
-zero-copy views (`kernel/arrownp.py`) instead of pyarrow's pandas
-fallback.  The remaining one-time ~0.3 s/worker import cost (pyarrow +
-pandas, which `pa.array`/`pa.scalar` pull lazily) is amortized by
-`session.warm_workers()` — on a real cluster it is per-executor
-startup cost, invisible across millions of tasks.
-""")
-    print("wrote BENCH.md")
+    bench_path = os.path.join(ROOT, "BENCH.md")
+    with open(bench_path) as f:
+        doc = f.read()
+    begin, end = "<!-- scaling:begin -->", "<!-- scaling:end -->"
+    i, j = doc.find(begin), doc.find(end)
+    if i >= 0 and j > i:
+        doc = doc[:i] + section + doc[j + len(end):]
+    else:  # no markers yet: append the section
+        doc = doc.rstrip() + "\n\n" + section + "\n"
+    with open(bench_path, "w") as f:
+        f.write(doc)
+    print("updated BENCH.md scaling section")
 
 
 if __name__ == "__main__":

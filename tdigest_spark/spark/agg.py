@@ -47,9 +47,15 @@ def tree_merge(
     def merge_partition(batches):
         buf: list[bytes] = []
         for pdf in batches:
-            buf.extend(s for s in pdf[sketch_col] if s is not None)
-            if len(buf) > fanout:  # bound working-set memory
-                buf = [merge_bytes(buf)]
+            # fold INSIDE the extend loop: appending a whole Arrow
+            # batch first would hold up to maxRecordsPerBatch (65k)
+            # serialized sketches before the bound check ran
+            for s in pdf[sketch_col]:
+                if s is None:
+                    continue
+                buf.append(s)
+                if len(buf) > fanout:  # bound working-set memory
+                    buf = [merge_bytes(buf)]
         yield pd.DataFrame({sketch_col: [merge_bytes(buf)] if buf else []})
 
     df = partials.select(sketch_col)

@@ -993,13 +993,31 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUITE_TMP_ROOT: str | None = None
+
+
+def _suite_tmpdir(prefix: str) -> str:
+    """Temp dir under ONE per-process root removed at interpreter exit.
+
+    The streaming queries write parquet replicas, checkpoints, and
+    sinks; naked mkdtemp calls would leak gigabytes into /tmp across
+    repeated gate runs until the disk fills."""
+    global _SUITE_TMP_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _SUITE_TMP_ROOT is None:
+        _SUITE_TMP_ROOT = tempfile.mkdtemp(prefix="tdigest_suite_tmp_")
+        atexit.register(shutil.rmtree, _SUITE_TMP_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SUITE_TMP_ROOT)
+
+
 def _replay_as_stream(spark, df, split_col: str, prefix: str):
     """Replay a DataFrame as 3 parquet micro-batches (split on
     pmod(split_col, 3), one file per trigger) — the streaming queries'
     shared fixture."""
-    import tempfile
-
-    src = tempfile.mkdtemp(prefix=prefix)
+    src = _suite_tmpdir(prefix)
     cols = [c for c in df.columns if c != split_col]
     for i in range(3):
         df.filter(F.pmod(split_col, F.lit(3)) == i).select(*cols).coalesce(
@@ -1014,7 +1032,6 @@ def _replay_as_stream(spark, df, split_col: str, prefix: str):
 def _run_stream_to_memory(spark, out, prefix: str):
     """Run a streaming DataFrame to completion into a memory sink and
     return its collected update rows."""
-    import tempfile
     import uuid
 
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
@@ -1022,7 +1039,7 @@ def _run_stream_to_memory(spark, out, prefix: str):
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"{prefix}_ckpt_"))
+        .option("checkpointLocation", _suite_tmpdir(f"{prefix}_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1124,8 +1141,6 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup state must carry across triggers).  Survivors land in a
     parquet sink and are verified distributively: survivor count must
     equal the exact distinct normalized-text count."""
-    import tempfile
-
     from tdigest_spark.streaming.dedup_stream import streaming_exact_dedup
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1138,13 +1153,11 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streaming_exact_dedup(
         stream, "ts", text_col="text", watermark_delay="24 hours"
     )
-    outdir = tempfile.mkdtemp(prefix="suite_sdedup_out_")
+    outdir = _suite_tmpdir("suite_sdedup_out_")
     q = (
         out.writeStream.format("parquet")
         .option("path", outdir)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="suite_sdedup_ckpt_")
-        )
+        .option("checkpointLocation", _suite_tmpdir("suite_sdedup_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )

@@ -8,9 +8,11 @@ Abstraction over the physical layout knobs the 100 TB design relies on:
 * ``write_bucketed`` — ``bucketBy`` on the join/group key → co-located
   joins and aggregations with NO shuffle on the bucketed side (verified
   in tests: the join plan has no Exchange under the bucketed scan)
-* ``table_format='iceberg'`` accepted wherever a catalog is configured;
-  this sandbox ships no Iceberg jar, so the parquet layouts above are
-  the default provider with the same pruning/clustering semantics.
+* Iceberg: this sandbox ships no Iceberg jar, so the parquet layouts
+  above are the provider; on a cluster with an Iceberg catalog the same
+  calls go through ``saveAsTable`` against that catalog with identical
+  pruning/clustering semantics (no extra parameter — the session's
+  configured catalog decides).
 
 Digest tables pair naturally with bucketing: a digest store bucketed by
 its group key re-aggregates and joins against new partials without
@@ -48,6 +50,17 @@ def write_bucketed(
 
 
 def read_table(spark: SparkSession, path_or_name: str) -> DataFrame:
-    if "/" in path_or_name:
+    """Read a parquet path or a catalog table.  Anything that looks
+    like a filesystem path — contains a separator, ends in .parquet,
+    or exists on disk — reads as parquet; otherwise it is a catalog
+    table name."""
+    import os
+
+    if (
+        "/" in path_or_name
+        or os.sep in path_or_name
+        or path_or_name.endswith(".parquet")
+        or os.path.exists(path_or_name)
+    ):
         return spark.read.parquet(path_or_name)
     return spark.table(path_or_name)
