@@ -940,6 +940,43 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup: plant two boilerplate lines into
+    every document, strip lines shared by >= 3 docs, report per-source
+    exact removal stats — oracle replays the same split/count/strip."""
+    from tdigest_spark.text import strip_boilerplate
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            "text", F.lit("\nSHARE THIS ARTICLE\naccept cookies to continue")
+        ).alias("t"),
+    )
+    cleaned = strip_boilerplate(aug, "doc_id", "t", min_docs=3, carry=("source",))
+    total = (
+        aug.select("source", F.size(F.split("t", "\n")).alias("nl"))
+        .groupBy("source")
+        .agg(F.sum("nl").alias("total_lines"))
+    )
+    per_src = cleaned.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_lines_kept").alias("lines_kept"),
+        F.sum(F.length("clean_text")).alias("cleaned_chars"),
+    )
+    return (
+        per_src.join(total, "source")
+        .select(
+            "source",
+            "n_docs",
+            (F.col("total_lines") - F.col("lines_kept")).alias("lines_removed"),
+            "cleaned_chars",
+        )
+        .orderBy("source")
+    )
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization collapses 6 planted crawl-variant styles
     (scheme/host case, www., :443, trailing slash, query order,
@@ -1651,6 +1688,7 @@ PIPELINE_QUERIES = {
     "word_repetition": q_word_repetition,
     "pii_scrub": q_pii_scrub,
     "url_dedup": q_url_dedup,
+    "boilerplate_removal": q_boilerplate_removal,
 }
 
 # PII regexes: one source of truth in text.py (RE2/Java-compatible
@@ -1785,6 +1823,30 @@ PIPELINE_ORACLES = {
         " AS canonical_url, CAST(k AS BIGINT) AS keep_id,"
         " CAST(6 AS BIGINT) AS n_variants"
         " FROM range(25) AS t(k) ORDER BY keep_id"
+    ),
+    "boilerplate_removal": (
+        "WITH aug AS (SELECT doc_id, source,"
+        " text || chr(10) || 'SHARE THIS ARTICLE' || chr(10) ||"
+        " 'accept cookies to continue' AS t FROM documents),"
+        " p AS (SELECT doc_id, source, string_split(t, chr(10)) AS parts"
+        "  FROM aug),"
+        " l AS (SELECT doc_id, source, i AS pos, parts[i] AS line"
+        "  FROM p, UNNEST(generate_series(1, len(parts))) AS u(i)),"
+        " b AS (SELECT line FROM l WHERE trim(line) <> ''"
+        "  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3),"
+        " k AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM b)),"
+        " pd AS (SELECT doc_id, source, COUNT(*) AS kept,"
+        "  length(string_agg(line, chr(10) ORDER BY pos)) AS clen"
+        "  FROM k GROUP BY doc_id, source),"
+        " tot AS (SELECT source, COUNT(*) AS total_lines FROM l"
+        "  GROUP BY source),"
+        " agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        "  SUM(kept) AS lines_kept, CAST(SUM(clen) AS BIGINT)"
+        "  AS cleaned_chars FROM pd GROUP BY source)"
+        " SELECT agg.source, agg.n_docs,"
+        " CAST(tot.total_lines - agg.lines_kept AS BIGINT) AS lines_removed,"
+        " agg.cleaned_chars"
+        " FROM agg JOIN tot USING (source) ORDER BY source"
     ),
 }
 

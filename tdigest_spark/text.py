@@ -138,6 +138,71 @@ def lang_id(
 
 
 # ----------------------------------------------------------------------
+# boilerplate line removal (C4-style line-level dedup)
+# ----------------------------------------------------------------------
+def line_doc_frequency(
+    df: DataFrame, id_col: str, text_col: str, line_col: str = "line"
+) -> DataFrame:
+    """(line, n_docs): in how many distinct documents each non-blank
+    line occurs — wordcount-shaped (explode → countDistinct), the
+    measurement half of boilerplate removal."""
+    lines = df.select(
+        id_col, F.explode(F.split(F.col(text_col), "\n")).alias(line_col)
+    )
+    return (
+        lines.filter(F.trim(F.col(line_col)) != "")
+        .groupBy(line_col)
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 3,
+    carry: tuple[str, ...] = (),
+    result_col: str = "clean_text",
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every line that appears in at
+    least ``min_docs`` distinct documents (cookie banners, share
+    buttons, nav text), reassembling the remaining lines in order.
+
+    Plan shape: explode lines → count distinct docs per line (map-side
+    combinable) → anti-join → ordered reassembly via array_sort over
+    (pos, line) structs.  Two shuffles on line / id — the same shape at
+    any corpus size; no Python in the pipeline.  Documents whose every
+    line is boilerplate drop out of the result (nothing left to keep).
+    Returns ``(id, *carry, n_lines_kept, clean_text)``."""
+    cols = [id_col, *carry]
+    lines = df.select(
+        *cols, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "__line__")
+    )
+    boiler = (
+        lines.filter(F.trim("__line__") != "")
+        .groupBy("__line__")
+        .agg(F.countDistinct(id_col).alias("__nd__"))
+        .filter(F.col("__nd__") >= min_docs)
+        .select("__line__")
+    )
+    kept = lines.join(boiler, "__line__", "left_anti")
+    return (
+        kept.groupBy(*cols)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "__line__"))).alias("__ps__"),
+            F.count("*").alias("n_lines_kept"),
+        )
+        .select(
+            *cols,
+            "n_lines_kept",
+            F.concat_ws(
+                "\n", F.transform("__ps__", lambda s: s["__line__"])
+            ).alias(result_col),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
 # PII detection / scrubbing
 # ----------------------------------------------------------------------
 # Patterns restricted to syntax shared by Java regex (Spark) and RE2

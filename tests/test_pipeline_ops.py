@@ -584,3 +584,28 @@ def test_dup_clusters_chain_convergence_and_raise(spark):
     assert set(labels.values()) == {0}  # one component, min-label 0
     with pytest.raises(RuntimeError, match="converge"):
         dedup.dup_clusters(chain, max_iters=3)
+
+
+def test_strip_boilerplate(spark):
+    """Lines shared by >= min_docs docs are removed; unique lines and
+    order survive; a doc that is pure boilerplate drops out."""
+    rows = [
+        (1, "unique one\nSHARE\nbody A", "s"),
+        (2, "SHARE\nunique two", "s"),
+        (3, "body C\nSHARE", "s"),
+        (4, "SHARE", "s"),  # all boilerplate
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "t", "src"])
+    out = {
+        r["doc_id"]: r
+        for r in text.strip_boilerplate(df, "doc_id", "t", min_docs=3).collect()
+    }
+    assert out[1]["clean_text"] == "unique one\nbody A"
+    assert out[2]["clean_text"] == "unique two"
+    assert out[3]["clean_text"] == "body C"
+    assert 4 not in out
+    freq = {
+        r["line"]: r["n_docs"]
+        for r in text.line_doc_frequency(df, "doc_id", "t").collect()
+    }
+    assert freq["SHARE"] == 4 and freq["unique one"] == 1
