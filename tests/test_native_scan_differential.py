@@ -242,3 +242,42 @@ def test_group_slices_empty_batch_and_radix_overflow(monkeypatch):
     monkeypatch.setattr(arrow_agg, "_RADIX_MAX", 2)
     lex = norm(arrow_agg._group_slices(batch, ["a", "b", "c"]))
     assert lex == radix and len(radix) > 10
+
+
+def test_multikey_grouped_counts_match_catalyst(spark, tmp_path_factory):
+    """3-key grouping (nullable string + int + float keys) through the
+    native scan's packed-radix grouping must match Catalyst GROUP BY
+    exactly — including NULL key combinations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(23)
+    n = 30_000
+    a = rng.choice(["x", "y", "z", None], n).tolist()
+    b = [None if rng.rand() < 0.04 else int(v) for v in rng.randint(0, 9, n)]
+    c = [None if rng.rand() < 0.04 else float(v) for v in rng.choice([1.5, 2.5, 3.5], n)]
+    path = str(tmp_path_factory.mktemp("mk") / "t.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array(a, pa.string()),
+                "b": pa.array(b, pa.int64()),
+                "c": pa.array(c, pa.float64()),
+                "v": pa.array(rng.rand(n)),
+            }
+        ),
+        path,
+        row_group_size=4_000,
+    )
+    tbl = spark.read.parquet(path)
+    assert arrow_agg._native_parquet_splits(tbl, ["a", "b", "c", "v"]) is not None
+    got = {
+        (r["a"], r["b"], r["c"]): r["count"]
+        for r in tdigest_count_agg(tbl, "v", 100, keys=["a", "b", "c"]).collect()
+    }
+    want = {
+        (r["a"], r["b"], r["c"]): r["n"]
+        for r in tbl.groupBy("a", "b", "c").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+    assert any(k[0] is None for k in got)  # null keys exercised
