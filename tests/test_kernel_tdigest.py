@@ -224,7 +224,9 @@ def test_merge_mixed_compression():
     m = TDigest(100)
     m.merge_digest(d_lo)
     m.merge_digest(d_hi)
-    m.merge_digest(tdigest_from_values(x[:0], 50) if False else d_lo)  # repeat input
+    m.merge_digest(TDigest(50))  # empty digest of a third compression: no-op
+    assert m.count == 30_000
+    m.merge_digest(d_lo)  # repeat input
     assert m.compression == 100
     assert m.count == 40_000
     v = m.quantiles(PS_FULL)

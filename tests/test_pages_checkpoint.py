@@ -73,9 +73,12 @@ def test_checkpoint_build_and_resume(spark, tmp_path_factory):
     assert lineage["consistent"], lineage
     assert lineage["rows_consumed"] == 10_000
 
-    # resume: a second call must read the checkpoint, not rebuild —
-    # prove it by corrupting nothing and checking identical content
-    partials2 = build_partial_digests(df, ["lang"], "text_len", 100, ckpt)
+    # resume: a second call must READ the checkpoint, not rebuild —
+    # prove it with an input that would change the output if rescanned
+    # (identical output alone is also consistent with a deterministic
+    # rebuild)
+    poisoned = df.withColumn("text_len", F.col("text_len") * 1000)
+    partials2 = build_partial_digests(poisoned, ["lang"], "text_len", 100, ckpt)
     assert partials2.count() == n_first
     a = sorted(
         (r["lang"], r["split_id"], bytes(r["digest"])) for r in partials.collect()

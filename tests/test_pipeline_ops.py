@@ -119,9 +119,32 @@ def test_simhash_identical_and_near(docs, docs_with_dups):
         (F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("hamming") == 0)
     ).filter(F.col("id_a") < 1_000_000)
     assert zero.count() == n
-    # pigeonhole guarantee: every pair with hamming <= 7 appears
-    found_near = cands.filter(F.col("hamming") <= 7).count()
-    assert found_near >= n
+    # pigeonhole guarantee: with 8 chunks, EVERY original↔mutated pair
+    # whose true hamming distance is <= 7 must appear as a candidate
+    # (<= 7 differing bits cannot touch all 8 chunks).  Computing the
+    # truth set directly makes this a real near-dup assertion — the n
+    # identical-copy pairs alone must not satisfy it.
+    orig = sh.filter(F.col("doc_id") < 1_000_000).select(
+        F.col("doc_id").alias("o_id"), F.col("sh").alias("sh_o")
+    )
+    mut = sh.filter(F.col("doc_id") >= 2_000_000).select(
+        (F.col("doc_id") - 2_000_000).alias("o_id"),
+        F.col("doc_id").alias("m_id"),
+        F.col("sh").alias("sh_m"),
+    )
+    truth = (
+        orig.join(mut, "o_id")
+        .select("o_id", "m_id", dedup.hamming64("sh_o", "sh_m").alias("h"))
+        .filter(F.col("h") <= 7)
+    )
+    n_true_near = truth.count()
+    assert n_true_near > 0  # fixture must exercise the near-dup path
+    missing = truth.join(
+        cands.select(F.col("id_a").alias("o_id"), F.col("id_b").alias("m_id")),
+        ["o_id", "m_id"],
+        "left_anti",
+    ).count()
+    assert missing == 0, f"{missing}/{n_true_near} near pairs missed"
 
 
 def test_hamming64(spark):
@@ -408,7 +431,7 @@ def test_word_ngrams_edges(spark):
     assert rows[1] == ["a b c d e", "b c d e f"]
     assert rows[2] == []  # shorter than n
     assert rows[3] == []  # blank
-    assert rows[4] is None or rows[4] == []  # NULL text propagates
+    assert rows[4] == []  # NULL text -> NULL when-condition -> empty array
     assert rows[5] == ["x y z w v"]
 
 

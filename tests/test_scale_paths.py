@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMALL
 from tdigest_spark.kernel.reservoir import Reservoir
 from tdigest_spark.kernel.tdigest import TDigest
 
@@ -88,7 +89,7 @@ def test_native_scan_filter_pushdown(spark, tmp_path_factory):
     from tdigest_spark.spark import arrow_agg
     from tdigest_spark.spark.tdigest_agg import tdigest_count_agg
 
-    li = spark.read.parquet(f"/root/testdata/sf0.001/lineitem.parquet").select(
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
         "l_returnflag", "l_extendedprice", "l_quantity"
     )
     filtered = li.filter(

@@ -22,8 +22,6 @@ from tdigest_spark.spark.tdigest_agg import (
     tdigest_count_agg,
     tdigest_percentile,
     tdigest_percentile_digests,
-    tdigest_percentile_of,
-    tdigest_sum_digests,
     tdigest_union_agg,
 )
 

@@ -54,7 +54,7 @@ def test_streaming_tdigest_matches_batch(spark, stream_dir, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     # last update per group = final state
     rows = spark.sql(
         "SELECT * FROM digests"
@@ -83,7 +83,7 @@ def test_foreach_batch_union(spark, stream_dir, tmp_path_factory):
         .parquet(src)
     )
     q = foreach_batch_union(stream, ["g"], "v", 100, out_dir, ckpt).start()
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     stored = spark.read.parquet(out_dir)
     assert stored.select("batch_id").distinct().count() == 3
     rolled = tdigest_union_agg(stored, "tdigest", keys=["g"]).collect()
@@ -134,7 +134,7 @@ def test_streaming_windowed_tdigest(spark, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180)
     rows = spark.sql("SELECT * FROM win_digests").collect()
     final = {}
     for r in rows:
@@ -192,11 +192,9 @@ def test_suite_windowed_queries_restore_session_tz(spark):
     """q_windowed_percentile pins the session timezone to UTC for its
     oracle alignment but must restore the caller's value (a silently
     mutated shared session breaks every later query)."""
-    import os
-
+    from tests.conftest import SF_SMALL as sf_dir
     from tdigest_spark.suite import q_windowed_percentile
 
-    sf_dir = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
     prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
     try:

@@ -35,6 +35,7 @@ def test_partitioned_write_prunes(spark, tmp_path_factory):
 def test_bucketed_join_has_no_shuffle_on_stored_side(spark, tmp_path_factory):
     """A digest store bucketed by its group key joins new data without
     re-shuffling the stored side."""
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
@@ -62,7 +63,7 @@ def test_bucketed_join_has_no_shuffle_on_stored_side(spark, tmp_path_factory):
         assert len(exchange_nodes) == 1, join_plan[:800]
         assert "Bucketed: true" in join_plan
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS bucketed_li")
 
 

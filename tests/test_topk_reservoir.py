@@ -6,6 +6,7 @@ import collections
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from tests.conftest import SF_SMALL
 from tdigest_spark.kernel.reservoir import Reservoir, merge_all_reservoir
@@ -134,9 +135,7 @@ def test_topk_grouped_and_sketch(events):
         .withColumn(
             "rn",
             F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
-                    "day"
-                ).orderBy(F.desc("c"), F.asc("event_type"))
+                Window.partitionBy("day").orderBy(F.desc("c"), F.asc("event_type"))
             ),
         )
         .filter("rn = 1")
