@@ -1,12 +1,23 @@
-"""Register the scalar sketch functions for use from ``spark.sql``.
+"""Register the sketch functions for use from ``spark.sql``.
 
 The reference exposes everything as SQL (CREATE FUNCTION/AGGREGATE in
-tdigest--1.0.0.sql).  Spark cannot register Python *aggregates* with
-partial-merge semantics, so the aggregates stay DataFrame-level
-(SURVEY.md §4 "no custom Catalyst rules needed"), but every scalar
-digest function gets a SQL name here, enabling e.g.
+tdigest--1.0.0.sql).  Every scalar digest function gets a SQL name
+here, enabling e.g.
 
     SELECT lang, tdigest_count(digest) FROM digests_table
+
+``register_sql_aggregates`` additionally registers GROUP BY-callable
+aggregate forms (grouped-agg pandas UDFs) mirroring the reference's
+CREATE AGGREGATE surface:
+
+    SELECT a, tdigest_percentile_agg(c, 100, 0.95) FROM t GROUP BY a
+
+Caveat, stated up front: Spark's grouped-agg pandas UDFs have NO
+partial-merge — each group's values stream to one task.  These SQL
+aggregates are the interactive convenience surface; the 100 TB path
+remains the DataFrame API's two-phase engine (arrow_agg), whose
+partials/merge/salt machinery the SQL forms deliberately do not
+replace.
 """
 
 from __future__ import annotations
@@ -159,6 +170,63 @@ def register_sql_functions(spark: SparkSession) -> None:
     reg("countmin_total", _map_udf(LongType(), lambda b: CountMin.from_bytes(bytes(b)).total))
     reg("kll_n", _map_udf(LongType(), lambda b: KLL.from_bytes(bytes(b)).n))
     reg("bloom_fill_ratio", _map_udf(DoubleType(), lambda b: Bloom.from_bytes(bytes(b)).fill_ratio()))
+
+
+def register_sql_aggregates(spark: SparkSession) -> None:
+    """GROUP BY-callable aggregate forms of the reference's CREATE
+    AGGREGATE surface (tdigest--1.0.0.sql:62-70), as grouped-agg pandas
+    UDFs.  Extra arguments arrive as constant columns; the first row's
+    value parameterizes the aggregate (matching how the reference's
+    direct arguments work).  See the module docstring for the
+    no-partial-merge scale caveat."""
+    import numpy as np
+
+    from tdigest_spark.kernel.tdigest import merge_all
+
+    @pandas_udf(BinaryType())
+    def tdigest_agg(v: pd.Series, compression: pd.Series) -> bytes | None:
+        vals = v.to_numpy(dtype=np.float64, na_value=np.nan)
+        vals = vals[~np.isnan(vals)]
+        if vals.size == 0:
+            return None
+        d = TDigest(int(compression.iloc[0]))
+        d.add_values(vals)
+        return d.to_bytes()
+
+    @pandas_udf(DoubleType())
+    def tdigest_percentile_agg(
+        v: pd.Series, compression: pd.Series, q: pd.Series
+    ) -> float | None:
+        vals = v.to_numpy(dtype=np.float64, na_value=np.nan)
+        vals = vals[~np.isnan(vals)]
+        if vals.size == 0:
+            return None
+        d = TDigest(int(compression.iloc[0]))
+        d.add_values(vals)
+        return float(d.quantile(float(q.iloc[0])))
+
+    @pandas_udf(DoubleType())
+    def tdigest_percentile_of_agg(
+        v: pd.Series, compression: pd.Series, hyp: pd.Series
+    ) -> float | None:
+        vals = v.to_numpy(dtype=np.float64, na_value=np.nan)
+        vals = vals[~np.isnan(vals)]
+        if vals.size == 0:
+            return None
+        d = TDigest(int(compression.iloc[0]))
+        d.add_values(vals)
+        return float(d.quantile_of(float(hyp.iloc[0])))
+
+    @pandas_udf(BinaryType())
+    def tdigest_union_sql_agg(digests: pd.Series) -> bytes | None:
+        ds = [TDigest.from_bytes(bytes(b)) for b in digests if b is not None]
+        m = merge_all(ds)
+        return m.to_bytes() if m is not None else None
+
+    spark.udf.register("tdigest_agg", tdigest_agg)
+    spark.udf.register("tdigest_percentile_agg", tdigest_percentile_agg)
+    spark.udf.register("tdigest_percentile_of_agg", tdigest_percentile_of_agg)
+    spark.udf.register("tdigest_union_agg", tdigest_union_sql_agg)
 
 
 def _union_bytes(a, b):

@@ -1086,6 +1086,63 @@ def _run_stream_to_memory(spark, out, prefix: str):
     return spark.sql(f"SELECT * FROM {name}").collect()
 
 
+def q_sql_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY-callable aggregate surface (the reference's CREATE
+    AGGREGATE forms): build digests and percentiles entirely in SQL,
+    verify counts exactly and the p95 rank distributively; the SQL
+    union aggregate must preserve the total count."""
+    from tdigest_spark.spark.sql_registry import (
+        register_sql_aggregates,
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    register_sql_aggregates(spark)
+    li = _read(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    li.createOrReplaceTempView("sqlagg_li")
+    est = spark.sql(
+        """
+        SELECT l_returnflag,
+               tdigest_percentile_agg(l_extendedprice, 100, 0.95) AS p95,
+               tdigest_count(tdigest_agg(l_extendedprice, 100)) AS n
+        FROM sqlagg_li GROUP BY l_returnflag
+        """
+    )
+    union_total = spark.sql(
+        """
+        SELECT tdigest_count(tdigest_union_agg(d)) AS un
+        FROM (SELECT l_returnflag, tdigest_agg(l_extendedprice, 100) AS d
+              FROM sqlagg_li GROUP BY l_returnflag)
+        """
+    )
+    grand = li.agg(F.count("*").alias("grand_n"))
+    checked = (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("n").alias("n"),
+            F.count("*").alias("n_exact"),
+            F.avg(
+                (F.col("l_extendedprice") <= F.col("p95")).cast("double")
+            ).alias("rank"),
+        )
+    )
+    return (
+        checked.crossJoin(union_total)
+        .crossJoin(grand)
+        .select(
+            "l_returnflag",
+            "n",
+            (
+                (F.col("n") == F.col("n_exact"))
+                & (F.abs(F.col("rank") - 0.95) < 0.01)
+                & (F.col("un") == F.col("grand_n"))
+            ).alias("ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_streaming_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming stateful digest build over the documents
     table replayed as 3 micro-batches: final per-lang counts must be
@@ -1512,6 +1569,7 @@ TDIGEST_QUERIES = {
     "tdigest_digest_inputs": q_tdigest_digest_inputs,
     "tdigest_scalar_functions": q_tdigest_scalar_functions,
     "sql_surface": q_sql_surface,
+    "sql_aggregates": q_sql_aggregates,
     "streaming_digest": q_streaming_digest,
     "streaming_dedup": q_streaming_dedup,
     "streaming_windowed": q_streaming_windowed,
@@ -1620,6 +1678,10 @@ TDIGEST_ORACLES = {
     "sql_surface": (
         "SELECT l_returnflag, COUNT(*) AS n, TRUE AS avg_ok, TRUE AS roundtrip_ok "
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "sql_aggregates": (
+        "SELECT l_returnflag, COUNT(*) AS n, TRUE AS ok FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
     ),
     "streaming_digest": (
         "SELECT lang, COUNT(*) AS n, TRUE AS ok FROM documents "

@@ -323,3 +323,41 @@ def test_dataframe_tdigest_add_null_value_passthrough(spark):
         ).alias("n")
     ).collect()[0]
     assert out["n"] == 100
+
+
+def test_sql_grouped_aggregates(spark):
+    """GROUP BY-callable aggregate forms: exact counts, NULL/NaN values
+    skipped, all-null group yields NULL, SQL union preserves count."""
+    from tdigest_spark.spark.sql_registry import (
+        register_sql_aggregates,
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    register_sql_aggregates(spark)
+    rows = [(i % 3, float(i % 101)) for i in range(3000)]
+    rows += [(9, None), (9, None)]  # all-null group
+    spark.createDataFrame(rows, ["a", "c"]).createOrReplaceTempView("sqlagg_t")
+    got = {
+        r["a"]: (r["n"], r["p50"])
+        for r in spark.sql(
+            """
+            SELECT a, tdigest_count(tdigest_agg(c, 100)) AS n,
+                   tdigest_percentile_agg(c, 100, 0.5) AS p50
+            FROM sqlagg_t GROUP BY a
+            """
+        ).collect()
+    }
+    for g in (0, 1, 2):
+        assert got[g][0] == 1000
+        assert abs(got[g][1] - 50.0) < 3.0
+    assert got[9] == (None, None)
+    un = spark.sql(
+        "SELECT tdigest_count(tdigest_union_agg(d)) AS n FROM"
+        " (SELECT a, tdigest_agg(c, 100) AS d FROM sqlagg_t GROUP BY a)"
+    ).collect()[0]["n"]
+    assert un == 3000
+    pof = spark.sql(
+        "SELECT tdigest_percentile_of_agg(c, 100, 50.0) AS r FROM sqlagg_t"
+    ).collect()[0]["r"]
+    assert abs(pof - 0.5) < 0.03
