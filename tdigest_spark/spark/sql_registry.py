@@ -223,10 +223,72 @@ def register_sql_aggregates(spark: SparkSession) -> None:
         m = merge_all(ds)
         return m.to_bytes() if m is not None else None
 
+    # companion sketches: the hash-keyed forms take an ALREADY-HASHED
+    # int64 column — call them as hll_agg(xxhash64(col)) so SQL-built
+    # and DataFrame-engine-built sketches share the one xxhash64 family
+    # and stay mergeable with each other (an in-process Python hash
+    # would silently produce incompatible sketches).  xxhash64 is
+    # never NULL (a NULL input hashes to the seed constant and counts
+    # as one token); filter NULLs upstream for COUNT DISTINCT-style
+    # semantics.
+    def _hashes_np(h: pd.Series):
+        if h.empty:
+            return None
+        if h.dtype != np.int64:
+            # a NULL in the hash column coerces the pandas series to
+            # float64, rounding 63-bit hashes BEFORE this code runs —
+            # fail loudly rather than fold corrupted bit patterns
+            raise ValueError(
+                "hash column must be non-nullable int64: pass "
+                "xxhash64(col) (never NULL) or filter nulls upstream"
+            )
+        return h.to_numpy(dtype=np.int64)
+
+    @pandas_udf(BinaryType())
+    def hll_agg(h: pd.Series) -> bytes | None:
+        hv = _hashes_np(h)
+        if hv is None:
+            return None
+        s = HLL()
+        s.add_hashes(hv)
+        return s.to_bytes()
+
+    @pandas_udf(BinaryType())
+    def kll_agg(v: pd.Series, k: pd.Series) -> bytes | None:
+        vals = v.to_numpy(dtype=np.float64, na_value=np.nan)
+        vals = vals[~np.isnan(vals)]
+        if vals.size == 0:
+            return None
+        s = KLL(int(k.iloc[0]))
+        s.add_values(vals)
+        return s.to_bytes()
+
+    @pandas_udf(BinaryType())
+    def bloom_agg(h: pd.Series, m: pd.Series, k: pd.Series) -> bytes | None:
+        hv = _hashes_np(h)
+        if hv is None:
+            return None
+        b = Bloom(int(m.iloc[0]), int(k.iloc[0]))
+        b.add_hashes(hv)
+        return b.to_bytes()
+
+    @pandas_udf(BinaryType())
+    def countmin_agg(h: pd.Series) -> bytes | None:
+        hv = _hashes_np(h)
+        if hv is None:
+            return None
+        cm = CountMin()
+        cm.add_hashes(hv)
+        return cm.to_bytes()
+
     spark.udf.register("tdigest_agg", tdigest_agg)
     spark.udf.register("tdigest_percentile_agg", tdigest_percentile_agg)
     spark.udf.register("tdigest_percentile_of_agg", tdigest_percentile_of_agg)
     spark.udf.register("tdigest_union_agg", tdigest_union_sql_agg)
+    spark.udf.register("hll_agg", hll_agg)
+    spark.udf.register("kll_agg", kll_agg)
+    spark.udf.register("bloom_agg", bloom_agg)
+    spark.udf.register("countmin_agg", countmin_agg)
 
 
 def _union_bytes(a, b):

@@ -361,3 +361,16 @@ def test_sql_grouped_aggregates(spark):
         "SELECT tdigest_percentile_of_agg(c, 100, 50.0) AS r FROM sqlagg_t"
     ).collect()[0]["r"]
     assert abs(pof - 0.5) < 0.03
+    # companion sketch SQL aggregates over the shared xxhash64 family
+    row = spark.sql(
+        """
+        SELECT hll_cardinality(hll_agg(xxhash64(c))) AS nd,
+               kll_n(kll_agg(c, 200)) AS kn,
+               bloom_fill_ratio(bloom_agg(xxhash64(c), 65536, 5)) AS fr,
+               countmin_total(countmin_agg(xxhash64(c))) AS ct
+        FROM sqlagg_t WHERE c IS NOT NULL
+        """
+    ).collect()[0]
+    assert abs(row["nd"] - 101) <= 3  # 101 distinct values, HLL p=14
+    assert row["kn"] == 3000 and row["ct"] == 3000
+    assert 0.0 < row["fr"] < 0.1
