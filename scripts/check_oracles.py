@@ -38,6 +38,12 @@ def main() -> int:
 
     qs = E.queries()
     oracles = E.oracle_sql()
+    if ONLY:
+        unknown = [n for n in ONLY if n not in qs]
+        if unknown:
+            # a typo'd filter must not produce a green 0/0 run
+            print(f"ERROR: unknown query name(s): {unknown}")
+            return 2
     failures = []
     ran = 0
     for name, fn in qs.items():

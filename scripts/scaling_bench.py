@@ -64,8 +64,8 @@ def ensure_pages(n_rows: int) -> None:
             with open(meta_path) as fh:
                 if json.load(fh).get("n_rows") == n_rows:
                     return
-        except OSError:
-            pass  # no meta: regenerate to be safe
+        except (OSError, ValueError):
+            pass  # missing or corrupt meta: regenerate to be safe
     code = (
         "import sys; sys.path.insert(0, %r)\n"
         "from tdigest_spark.spark.session import get_spark\n"

@@ -183,39 +183,36 @@ def register_sql_aggregates(spark: SparkSession) -> None:
 
     from tdigest_spark.kernel.tdigest import merge_all
 
-    @pandas_udf(BinaryType())
-    def tdigest_agg(v: pd.Series, compression: pd.Series) -> bytes | None:
+    def _build_digest(v: pd.Series, compression: pd.Series) -> TDigest | None:
+        """Shared value-cleaning + digest construction for the three
+        t-digest aggregate forms (NaN/NULL values dropped, empty group
+        → None)."""
         vals = v.to_numpy(dtype=np.float64, na_value=np.nan)
         vals = vals[~np.isnan(vals)]
         if vals.size == 0:
             return None
         d = TDigest(int(compression.iloc[0]))
         d.add_values(vals)
-        return d.to_bytes()
+        return d
+
+    @pandas_udf(BinaryType())
+    def tdigest_agg(v: pd.Series, compression: pd.Series) -> bytes | None:
+        d = _build_digest(v, compression)
+        return d.to_bytes() if d is not None else None
 
     @pandas_udf(DoubleType())
     def tdigest_percentile_agg(
         v: pd.Series, compression: pd.Series, q: pd.Series
     ) -> float | None:
-        vals = v.to_numpy(dtype=np.float64, na_value=np.nan)
-        vals = vals[~np.isnan(vals)]
-        if vals.size == 0:
-            return None
-        d = TDigest(int(compression.iloc[0]))
-        d.add_values(vals)
-        return float(d.quantile(float(q.iloc[0])))
+        d = _build_digest(v, compression)
+        return float(d.quantile(float(q.iloc[0]))) if d is not None else None
 
     @pandas_udf(DoubleType())
     def tdigest_percentile_of_agg(
         v: pd.Series, compression: pd.Series, hyp: pd.Series
     ) -> float | None:
-        vals = v.to_numpy(dtype=np.float64, na_value=np.nan)
-        vals = vals[~np.isnan(vals)]
-        if vals.size == 0:
-            return None
-        d = TDigest(int(compression.iloc[0]))
-        d.add_values(vals)
-        return float(d.quantile_of(float(hyp.iloc[0])))
+        d = _build_digest(v, compression)
+        return float(d.quantile_of(float(hyp.iloc[0]))) if d is not None else None
 
     @pandas_udf(BinaryType())
     def tdigest_union_sql_agg(digests: pd.Series) -> bytes | None:

@@ -51,16 +51,17 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, path_or_name: str) -> DataFrame:
     """Read a parquet path or a catalog table.  Anything that looks
-    like a filesystem path — contains a separator, ends in .parquet,
-    or exists on disk — reads as parquet; otherwise it is a catalog
-    table name."""
+    like a filesystem path — contains a separator or ends in .parquet —
+    reads as parquet; otherwise it is a catalog table name.  (No
+    existence probe: a driver-CWD file sharing a catalog table's name
+    must not hijack the lookup, and the driver's local filesystem says
+    nothing about where a cluster resolves paths.)"""
     import os
 
     if (
         "/" in path_or_name
         or os.sep in path_or_name
         or path_or_name.endswith(".parquet")
-        or os.path.exists(path_or_name)
     ):
         return spark.read.parquet(path_or_name)
     return spark.table(path_or_name)
