@@ -163,6 +163,18 @@ def register_sql_functions(spark: SparkSession) -> None:
         "tdigest_digest_avg",
         _map_udf(DoubleType(), lambda b: TDigest.from_bytes(bytes(b)).trimmed_avg(0.0, 1.0)),
     )
+    reg(
+        "tdigest_histogram",
+        _map2_udf(
+            ArrayType(DoubleType()),
+            lambda b, k: [
+                float(x)
+                for x in TDigest.from_bytes(bytes(b)).quantiles(
+                    [i / int(k) for i in range(int(k) + 1)]
+                )
+            ],
+        ),
+    )
     reg("tdigest_union", _union_udf())
     reg("tdigest_add", _add_udf())
     reg("tdigest_add_array", _add_udf())

@@ -361,6 +361,11 @@ def test_sql_grouped_aggregates(spark):
         "SELECT tdigest_percentile_of_agg(c, 100, 50.0) AS r FROM sqlagg_t"
     ).collect()[0]["r"]
     assert abs(pof - 0.5) < 0.03
+    edges = spark.sql(
+        "SELECT tdigest_histogram(tdigest_agg(c, 100), 4) AS e FROM sqlagg_t"
+    ).collect()[0]["e"]
+    assert len(edges) == 5 and edges == sorted(edges)
+    assert edges[0] == 0.0 and edges[-1] == 100.0  # exact min/max ends
     # companion sketch SQL aggregates over the shared xxhash64 family
     row = spark.sql(
         """
