@@ -243,7 +243,16 @@ def lsh_candidate_pairs(
             sig_df.filter(F.col(sig_col).isNotNull()).select(sig_col).first()
         )
         if row is None:
-            return sig_df.sparkSession.createDataFrame([], "id_a long, id_b long")
+            # mirror the non-empty path's schema: id_a/id_b inherit
+            # id_col's actual type (string/int32 corpora must not get a
+            # differently-typed empty frame)
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = sig_df.schema[id_col].dataType
+            empty_schema = StructType(
+                [StructField("id_a", id_type), StructField("id_b", id_type)]
+            )
+            return sig_df.sparkSession.createDataFrame([], empty_schema)
         n_hashes = len(row[0])
     rows_per_band = n_hashes // bands
     # null signatures (null-text docs) must not band: xxhash64 over a

@@ -90,9 +90,13 @@ def kgram_poly_hashes(data: np.ndarray, k: int, base: int = 1000003) -> np.ndarr
         return np.empty(0, dtype=np.uint64)
     with np.errstate(over="ignore"):
         b = np.uint64(base)
-        powers = np.empty(k, dtype=np.uint64)
-        powers[0] = np.uint64(1)
-        for i in range(1, k):
-            powers[i] = powers[i - 1] * b
-        win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-        return (win * powers[::-1]).sum(axis=1, dtype=np.uint64)
+        # Horner accumulation: k passes over a length-n uint64 buffer.
+        # The round-3 form materialized an (n, k) uint64 window matrix —
+        # ~64n bytes of temp for k=8, which at batch scale (concatenated
+        # multi-MB buffers) dominated runtime with allocation + memory
+        # traffic.  Same polynomial, same wrap mod 2^64, identical output.
+        acc = data[:n].astype(np.uint64)
+        for j in range(1, k):
+            np.multiply(acc, b, out=acc)
+            np.add(acc, data[j : j + n], out=acc, casting="unsafe")
+        return acc

@@ -167,12 +167,7 @@ def register_sql_functions(spark: SparkSession) -> None:
         "tdigest_histogram",
         _map2_udf(
             ArrayType(DoubleType()),
-            lambda b, k: [
-                float(x)
-                for x in TDigest.from_bytes(bytes(b)).quantiles(
-                    [i / int(k) for i in range(int(k) + 1)]
-                )
-            ],
+            lambda b, k: _histogram_quantiles(b, k),
         ),
     )
     reg("tdigest_union", _union_udf())
@@ -182,6 +177,18 @@ def register_sql_functions(spark: SparkSession) -> None:
     reg("countmin_total", _map_udf(LongType(), lambda b: CountMin.from_bytes(bytes(b)).total))
     reg("kll_n", _map_udf(LongType(), lambda b: KLL.from_bytes(bytes(b)).n))
     reg("bloom_fill_ratio", _map_udf(DoubleType(), lambda b: Bloom.from_bytes(bytes(b)).fill_ratio()))
+
+
+def _histogram_quantiles(b, k):
+    """k+1 equi-spaced quantiles (histogram bin edges).  Validates
+    k >= 1 with a clean error instead of the ZeroDivisionError /
+    descending-garbage a raw ``i / int(k)`` comprehension would give
+    for k <= 0."""
+    k = int(k)
+    if k < 1:
+        raise ValueError(f"tdigest_histogram: k must be >= 1, got {k}")
+    d = TDigest.from_bytes(bytes(b))
+    return [float(x) for x in d.quantiles([i / k for i in range(k + 1)])]
 
 
 def register_sql_aggregates(spark: SparkSession) -> None:

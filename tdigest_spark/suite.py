@@ -815,6 +815,82 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED bucketed IVF index — the 100 TB ANN layout: write the
+    index bucketed by list_id (one assignment pass), answer probed
+    top-k through Spark's bucket pruning (the plan must show
+    ``SelectedBucketsCount`` strictly below the bucket total), recall@10
+    >= 0.7 vs the exact brute-force baseline.  The verdict row is
+    materialized eagerly so the scratch table can be dropped before
+    returning (the driver collects the returned frame lazily)."""
+    import contextlib
+    import io
+    import re
+    import shutil
+
+    import numpy as np
+
+    from tdigest_spark.similarity import (
+        _normalize,
+        cosine_topk,
+        ivf_centroids,
+        ivf_topk_bucketed,
+        ivf_write_index,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrows = emb.filter(F.col("vec_id") < 10).collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    cents = ivf_centroids(corpus, "embedding", n_lists=16)
+
+    table = "suite_ivf_index"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(f"spark-warehouse/{table}", ignore_errors=True)
+    try:
+        ivf_write_index(
+            corpus, "vec_id", "embedding", cents, table, n_buckets=16
+        )
+        n_probe = 6
+        qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+        probe_lists = sorted(
+            {int(v) for row in np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probe] for v in row}
+        )
+        scan = spark.table(table).filter(F.col("list_id").isin(probe_lists))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            scan.explain("formatted")
+        plan = buf.getvalue()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        pruned_ok = bool(m) and int(m.group(1)) < int(m.group(2)) == 16
+
+        ivf = ivf_topk_bucketed(
+            spark, table, "vec_id", "embedding", queries, cents,
+            k=10, n_probe=n_probe,
+        )
+        exact = cosine_topk(corpus, "vec_id", "embedding", queries, k=10)
+        hit = exact.select("query_id", "neighbor_id").join(
+            ivf.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        verdict = (
+            exact.agg(F.count("*").alias("n_exact"))
+            .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+            .select(
+                F.lit(10).cast("long").alias("n_queries"),
+                (F.col("n_hit") >= F.col("n_exact") * 0.7).alias("recall_ok"),
+                F.lit(pruned_ok).alias("pruned_ok"),
+            )
+            .collect()
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    return spark.createDataFrame(
+        verdict, "n_queries long, recall_ok boolean, pruned_ok boolean"
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact whitespace-token totals per language (pure JVM split)."""
     from tdigest_spark.text import token_count
@@ -1090,7 +1166,11 @@ def q_sql_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY-callable aggregate surface (the reference's CREATE
     AGGREGATE forms): build digests and percentiles entirely in SQL,
     verify counts exactly and the p95 rank distributively; the SQL
-    union aggregate must preserve the total count."""
+    union aggregate must preserve the total count.  Also runs the
+    SALTED two-level recipe (salt → partial digests → union-merge) and
+    asserts it matches the flat form — the executable worked example of
+    the partial-merge-shaped SQL path (see README "SQL aggregates at
+    scale")."""
     from tdigest_spark.spark.sql_registry import (
         register_sql_aggregates,
         register_sql_functions,
@@ -1098,7 +1178,9 @@ def q_sql_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_sql_functions(spark)
     register_sql_aggregates(spark)
-    li = _read(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_extendedprice"
+    )
     li.createOrReplaceTempView("sqlagg_li")
     est = spark.sql(
         """
@@ -1106,6 +1188,27 @@ def q_sql_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
                tdigest_percentile_agg(l_extendedprice, 100, 0.95) AS p95,
                tdigest_count(tdigest_agg(l_extendedprice, 100)) AS n
         FROM sqlagg_li GROUP BY l_returnflag
+        """
+    )
+    # The salted two-level recipe — the partial-merge-shaped SQL path.
+    # The flat forms above stream each group's raw values to ONE task
+    # (grouped-agg pandas UDFs have no COMBINEFUNC analogue, see
+    # sql_registry docstring); on a hot key that is the scale killer.
+    # This is the pattern SQL users should run instead: salt the group
+    # key so each task digests ~1/16 of the values, then merge the 16
+    # partial digests with the union aggregate — the same two-phase
+    # shape the DataFrame engine (arrow_agg) and the reference's
+    # PARALLEL SAFE COMBINEFUNC (tdigest--1.0.0.sql:62-70) use.
+    salted = spark.sql(
+        """
+        SELECT l_returnflag,
+               tdigest_quantile(tdigest_union_agg(d), 0.95) AS p95_salted,
+               tdigest_count(tdigest_union_agg(d)) AS n_salted
+        FROM (SELECT l_returnflag,
+                     pmod(xxhash64(l_orderkey), 16) AS salt,
+                     tdigest_agg(l_extendedprice, 100) AS d
+              FROM sqlagg_li GROUP BY l_returnflag, salt)
+        GROUP BY l_returnflag
         """
     )
     union_total = spark.sql(
@@ -1118,13 +1221,18 @@ def q_sql_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     grand = li.agg(F.count("*").alias("grand_n"))
     checked = (
         li.join(F.broadcast(est), "l_returnflag")
+        .join(F.broadcast(salted), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
             F.first("n").alias("n"),
+            F.first("n_salted").alias("n_salted"),
             F.count("*").alias("n_exact"),
             F.avg(
                 (F.col("l_extendedprice") <= F.col("p95")).cast("double")
             ).alias("rank"),
+            F.avg(
+                (F.col("l_extendedprice") <= F.col("p95_salted")).cast("double")
+            ).alias("rank_salted"),
         )
     )
     return (
@@ -1137,6 +1245,10 @@ def q_sql_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n") == F.col("n_exact"))
                 & (F.abs(F.col("rank") - 0.95) < 0.01)
                 & (F.col("un") == F.col("grand_n"))
+                # the salted two-level form must lose no rows and land
+                # the same rank bound as the flat form
+                & (F.col("n_salted") == F.col("n_exact"))
+                & (F.abs(F.col("rank_salted") - 0.95) < 0.01)
             ).alias("ok"),
         )
         .orderBy("l_returnflag")
@@ -1796,6 +1908,7 @@ PIPELINE_QUERIES = {
     "cosine_threshold_pairs": q_cosine_threshold_pairs,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_bucketed": q_ann_ivf_bucketed,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "lang_id": q_lang_id,
@@ -1867,6 +1980,10 @@ PIPELINE_ORACLES = {
         " AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
     ),
     "ann_ivf": "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok",
+    "ann_ivf_bucketed": (
+        "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok,"
+        " TRUE AS pruned_ok"
+    ),
     "token_stats": (
         "SELECT lang, COUNT(*) AS n_docs,"
         " CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0"

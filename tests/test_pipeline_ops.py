@@ -271,6 +271,31 @@ def test_fingerprints(docs, docs_with_dups, spark):
     assert {r["doc_id"]: r["w"] for r in wf} == {r["doc_id"]: r["w"] for r in wf2}
 
 
+def test_winnow_batch_matches_reference():
+    """The chunked cross-document batch winnowing must reproduce the
+    per-document reference exactly — including empty docs, docs shorter
+    than k, docs with <= window grams, None, and chunk boundaries."""
+    import random
+
+    from tdigest_spark.text import _winnow_batch, _winnow_one
+
+    rng = random.Random(7)
+    words = ["the", "cat", "dog", "web", "page", "crawl", "dedup", "x"]
+    docs = [
+        " ".join(rng.choice(words) for _ in range(n))
+        for n in (rng.choice([0, 1, 3, 5, 8, 20, 60, 300, 1500]) for _ in range(300))
+    ]
+    docs += [None, "", "ab", "abcdefgh", "abcdefghi", "a" * 7, "a" * 8, "a" * 25]
+    for k, w in [(8, 16), (4, 4), (2, 1), (5, 20)]:
+        bufs = [
+            None if t is None else np.frombuffer(t.lower().encode(), dtype=np.uint8)
+            for t in docs
+        ]
+        got = _winnow_batch(bufs, k, w)
+        want = [None if t is None else _winnow_one(t, k, w) for t in docs]
+        assert got == want, (k, w)
+
+
 # ----------------------------------------------------------------------
 # multimodal plumbing
 # ----------------------------------------------------------------------
