@@ -392,6 +392,92 @@ def duplicate_ngram_mass(df: DataFrame, text_col: str, n: int = 5) -> DataFrame:
     )
 
 
+def remove_duplicate_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_count: int = 2,
+    result_col: str = "clean_text",
+) -> DataFrame:
+    """Exact-substring dedup, REMOVAL half (Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" — the
+    measurement half is ``duplicate_ngram_mass``): cut every token
+    covered by a word ``n``-gram occurring >= ``min_count`` times
+    corpus-wide (within-doc repeats count), reassembling the surviving
+    tokens in order.  Maximal duplicated runs disappear wholesale
+    because each of their length-``n`` windows is itself duplicated.
+
+    Returns ``(id, n_tokens, n_removed, clean_text)`` for EVERY input
+    document — fully-duplicated docs come back with empty text, not
+    dropped, so the output stays 1:1 joinable with the corpus.
+
+    Plan shape, all Catalyst: gram wordcount (map-side combinable,
+    near-uniform high-cardinality keys) → semi-join the duplicated
+    grams back onto gram instances → explode each duplicated instance
+    into its ``n`` covered positions → distinct → anti-join the token
+    table → ordered reassembly via array_sort over (pos, token)
+    structs.  Three shuffles (gram, (id, pos), id); no Python; no
+    per-doc state — the same plan at 10^12 documents."""
+    toks_arr = F.when(
+        F.length(F.trim(F.col(text_col))) > 0,
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(id_col, toks_arr.alias("__w__"))
+    toks = base.select(
+        id_col, F.posexplode("__w__").alias("tpos", "__tok__")
+    )
+    grams = df.select(
+        id_col,
+        F.posexplode(word_ngrams(F.col(text_col), n)).alias("gpos", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("__cnt__"))
+        .filter(F.col("__cnt__") >= min_count)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + (n - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, [id_col, "tpos"], "left_anti")
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("tpos", "__tok__"))
+            ).alias("__ps__"),
+            F.count("*").alias("__n_kept__"),
+        )
+        .select(
+            id_col,
+            "__n_kept__",
+            F.concat_ws(
+                " ", F.transform("__ps__", lambda s: s["__tok__"])
+            ).alias(result_col),
+        )
+    )
+    return (
+        base.select(id_col, F.size("__w__").cast("long").alias("n_tokens"))
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("__n_kept__"), F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce(F.col(result_col), F.lit("")).alias(result_col),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # SimHash
 # ----------------------------------------------------------------------

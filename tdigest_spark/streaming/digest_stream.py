@@ -186,6 +186,78 @@ def streaming_hll_distinct(
     )
 
 
+def streaming_countmin(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    hash_col: str,
+    width: int = 2048,
+    depth: int = 5,
+    result_col: str = "countmin",
+) -> DataFrame:
+    """Maintain one count-min sketch per group across micro-batches —
+    streaming frequency estimates / heavy hitters (e.g. per-source URL
+    frequencies in a crawl stream).  ``hash_col`` must be a NON-NULL
+    int64 hash column (``xxhash64(col)`` upstream) — the same family
+    the batch engine's ``countmin_sketch`` uses, and the table is a sum
+    (order-independent), so a streaming-built sketch over the same
+    rows is BYTE-IDENTICAL to the batch-built one and merges with it.
+    State is one (depth × width) int64 table per key (~80 KB at the
+    2048×5 default) regardless of stream length.  Emits
+    (keys..., countmin binary, total long) on every update."""
+    from tdigest_spark.kernel.countmin import CountMin
+
+    keys = list(keys)
+    key_fields = [f for f in stream_df.schema.fields if f.name in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField(result_col, BinaryType(), True),
+            StructField("total", LongType(), False),
+        ]
+    )
+    state_schema = StructType([StructField("cm", BinaryType(), True)])
+
+    def update(key, batches, state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            cm = CountMin.from_bytes(bytes(blob))
+        else:
+            cm = CountMin(width, depth)
+        saw = False
+        for pdf in batches:
+            col = pdf[hash_col]
+            if col.empty:
+                continue
+            if col.dtype != np.int64:
+                # a NULL in the batch coerces the series to float64,
+                # rounding 63-bit hashes before this code runs
+                raise ValueError(
+                    "streaming_countmin: hash_col must be a "
+                    "non-nullable int64 hash (mask NULL inputs to a "
+                    "sentinel or filter them upstream)"
+                )
+            cm.add_hashes(col.to_numpy(dtype=np.int64))
+            saw = True
+        if saw:
+            blob = cm.to_bytes()
+            state.update((blob,))
+            yield pd.DataFrame(
+                {
+                    **{k: [kv] for k, kv in zip(keys, key)},
+                    result_col: [blob],
+                    "total": [int(cm.total)],
+                }
+            )
+
+    return stream_df.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_windowed_tdigest(
     stream_df: DataFrame,
     ts_col: str,

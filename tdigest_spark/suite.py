@@ -969,6 +969,22 @@ def q_dup_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_ngram_mass(docs, "text", n=5)
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, removal half (Lee et al. 2022): every
+    token covered by a corpus-duplicated word 5-gram is cut and the
+    survivors reassembled in order; the DuckDB oracle replays the full
+    pipeline — gram counts, covered-position explode, anti-join,
+    ordered reassembly — and every doc's clean_text must match
+    byte-for-byte (fully-duplicated docs come back empty, not
+    dropped)."""
+    from tdigest_spark.dedup import remove_duplicate_ngrams
+
+    docs = _read(spark, sf_dir, "documents")
+    return remove_duplicate_ngrams(docs, "doc_id", "text", n=5).orderBy(
+        "doc_id"
+    )
+
+
 def q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition screen: docs whose most frequent token
     exceeds 20% of all tokens, per language (exact wordcount shape)."""
@@ -1160,6 +1176,65 @@ def _run_stream_to_memory(spark, out, prefix: str):
         q.stop()
         raise TimeoutError(f"streaming query {name} did not finish in 300s")
     return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def q_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: a per-group count-min maintained across
+    3 replayed micro-batches over xxhash64(event_type).  The count-min
+    table is a sum — order-independent — and shares the batch engine's
+    xxhash64 family, so the final streaming sketch must be
+    BYTE-IDENTICAL to the batch-built sketch over the same rows; point
+    estimates must be one-sided (est >= exact) within eps·N."""
+    from tdigest_spark.kernel.countmin import CountMin  # noqa: F401
+    from tdigest_spark.spark.sketches import countmin_estimate, countmin_sketch
+    from tdigest_spark.streaming.digest_stream import streaming_countmin
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("event_id", "event_type")
+    )
+    hashed = ev.select(
+        "event_id",
+        F.lit("all").alias("g"),
+        F.xxhash64("event_type").alias("h"),
+    )
+    stream = _replay_as_stream(spark, hashed, "event_id", "suite_scm_src_")
+    rows = _run_stream_to_memory(
+        spark, streaming_countmin(stream, ["g"], "h"), "suite_scm"
+    )
+    final = max(rows, key=lambda r: r["total"])  # last update wins
+    stream_blob = bytes(final["countmin"])
+    batch_blob = bytes(
+        countmin_sketch(
+            ev.select("event_type"), "event_type", width=2048, depth=5
+        ).first()["countmin"]
+    )
+    byte_equal = stream_blob == batch_blob
+
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    cmdf = spark.createDataFrame([(stream_blob,)], "countmin binary")
+    total = ev.count()
+    return (
+        exact.crossJoin(F.broadcast(cmdf))
+        .select(
+            "event_type",
+            "n",
+            countmin_estimate(F.col("countmin"), F.col("event_type")).alias(
+                "est"
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            (
+                (F.col("est") >= F.col("n"))
+                & (F.col("est") <= F.col("n") + 0.01 * total)
+                & F.lit(bool(byte_equal))
+            ).alias("ok"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def q_sql_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1734,6 +1809,7 @@ TDIGEST_QUERIES = {
     "sql_aggregates": q_sql_aggregates,
     "streaming_digest": q_streaming_digest,
     "streaming_hll": q_streaming_hll,
+    "streaming_countmin": q_streaming_countmin,
     "streaming_dedup": q_streaming_dedup,
     "streaming_windowed": q_streaming_windowed,
     "windowed_percentile": q_windowed_percentile,
@@ -1858,6 +1934,11 @@ TDIGEST_ORACLES = {
         "SELECT source, COUNT(DISTINCT text) AS nd_exact, TRUE AS ok"
         " FROM documents GROUP BY source ORDER BY source"
     ),
+    "streaming_countmin": (
+        "SELECT event_type, COUNT(*) AS n, TRUE AS ok FROM events"
+        " WHERE event_type IS NOT NULL GROUP BY event_type"
+        " ORDER BY event_type"
+    ),
     "streaming_dedup": (
         "SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_in,"
         " CAST(COUNT(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
@@ -1915,6 +1996,7 @@ PIPELINE_QUERIES = {
     "fingerprint_dups": q_fingerprint_dups,
     "multimodal_pipeline": q_multimodal_pipeline,
     "dup_ngram_mass": q_dup_ngram_mass,
+    "substring_dedup": q_substring_dedup,
     "word_repetition": q_word_repetition,
     "pii_scrub": q_pii_scrub,
     "url_dedup": q_url_dedup,
@@ -2017,6 +2099,32 @@ PIPELINE_ORACLES = {
         " CAST(COUNT(*) AS BIGINT) AS n_distinct,"
         " CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)"
         " AS dup_instances FROM c"
+    ),
+    "substring_dedup": (
+        "WITH dt AS (SELECT doc_id,"
+        " CASE WHEN length(trim(text)) > 0"
+        "  THEN regexp_split_to_array(trim(text), '\\s+')"
+        "  ELSE CAST([] AS VARCHAR[]) END AS w FROM documents),"
+        " g AS (SELECT doc_id, i - 1 AS gpos,"
+        "  array_to_string(w[i:i+4], ' ') AS gram"
+        "  FROM dt, UNNEST(generate_series(1, len(w) - 4)) AS t(i)"
+        "  WHERE len(w) >= 5),"
+        " d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),"
+        " cov AS (SELECT DISTINCT doc_id, tpos FROM"
+        "  (SELECT g.doc_id, g.gpos + u.j AS tpos"
+        "   FROM g JOIN d USING (gram),"
+        "   UNNEST(generate_series(0, 4)) AS u(j))),"
+        " tk AS (SELECT doc_id, i - 1 AS tpos, w[i] AS tok"
+        "  FROM dt, UNNEST(generate_series(1, len(w))) AS t(i)),"
+        " kept AS (SELECT tk.doc_id, tk.tpos, tk.tok FROM tk"
+        "  ANTI JOIN cov ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos),"
+        " a AS (SELECT doc_id, COUNT(*) AS n_kept,"
+        "  string_agg(tok, ' ' ORDER BY tpos) AS ct"
+        "  FROM kept GROUP BY doc_id)"
+        " SELECT dt.doc_id, CAST(len(dt.w) AS BIGINT) AS n_tokens,"
+        " CAST(len(dt.w) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,"
+        " COALESCE(a.ct, '') AS clean_text"
+        " FROM dt LEFT JOIN a USING (doc_id) ORDER BY doc_id"
     ),
     "word_repetition": (
         "WITH t AS (SELECT doc_id, lang,"

@@ -271,6 +271,33 @@ def test_fingerprints(docs, docs_with_dups, spark):
     assert {r["doc_id"]: r["w"] for r in wf} == {r["doc_id"]: r["w"] for r in wf2}
 
 
+def test_remove_duplicate_ngrams(spark):
+    """A passage shared by two docs vanishes from both; unique prose
+    survives; fully-duplicated and blank docs come back empty but
+    present (1:1 with the corpus)."""
+    boiler = "please accept our cookie policy before you continue reading"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta {boiler} eta theta iota kappa lambda"),
+        (2, f"{boiler} one two three four five six seven"),
+        (3, boiler),  # nothing but the duplicated span
+        (4, "completely unique sentence with no repeats at all here ok"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_ngrams(df, "doc_id", "text", n=5).collect()
+    }
+    assert got[1]["clean_text"] == (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    )
+    assert got[2]["clean_text"] == "one two three four five six seven"
+    assert got[3]["clean_text"] == "" and got[3]["n_removed"] == 9
+    assert got[4]["clean_text"] == rows[3][1] and got[4]["n_removed"] == 0
+    assert got[5]["clean_text"] == "" and got[5]["n_tokens"] == 0
+    assert len(got) == 5
+
+
 def test_winnow_batch_matches_reference():
     """The chunked cross-document batch winnowing must reproduce the
     per-document reference exactly — including empty docs, docs shorter

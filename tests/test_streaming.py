@@ -284,3 +284,66 @@ def test_streaming_hll_distinct_accumulates(spark, tmp_path_factory):
     assert abs(best - 2000) / 2000 < 0.03
     final_blob = max(rows, key=lambda r: r["estimate"])["hll"]
     assert HLL.from_bytes(bytes(final_blob)).cardinality() == best
+
+
+def test_streaming_countmin_bounded_state_and_batch_parity(
+    spark, tmp_path_factory
+):
+    """Per-key count-min state stays a fixed-size table across batches
+    (the serialized blob never grows with stream length), the final
+    sketch is byte-identical to a batch-built one over the same rows
+    (sums are order-independent, shared xxhash64 family), and point
+    estimates are one-sided."""
+    from tdigest_spark.kernel.countmin import CountMin
+    from tdigest_spark.streaming.digest_stream import streaming_countmin
+
+    src = tmp_path_factory.mktemp("scm_src")
+    # zipf-ish skew: value v repeated (20 - v) times per batch
+    base = spark.range(0, 20).selectExpr(
+        "explode(sequence(1, 20 - cast(id as int))) as rep", "id as v"
+    )
+    for k in range(3):
+        base.select(
+            F.lit("g").alias("g"), F.xxhash64(F.col("v") + k * 0).alias("h")
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_countmin(stream, ["g"], "h", width=256, depth=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scm_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("scm_ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM scm_t").collect()
+    assert len(rows) == 3  # one update per micro-batch
+    # bounded state: every emitted blob has the same fixed size
+    sizes = {len(bytes(r["countmin"])) for r in rows}
+    assert len(sizes) == 1
+    totals = sorted(r["total"] for r in rows)
+    assert totals == [210, 420, 630]  # 3 batches x sum(1..20)
+    final = bytes(max(rows, key=lambda r: r["total"])["countmin"])
+    # batch parity: one sketch over all three batches, identical bytes
+    batch = CountMin(256, 5)
+    hashes = (
+        spark.read.parquet(str(src)).select("h").toPandas()["h"].to_numpy("int64")
+    )
+    batch.add_hashes(hashes)
+    assert batch.to_bytes() == final
+    # one-sided estimates on the true values
+    import numpy as np
+
+    cm = CountMin.from_bytes(final)
+    vals = spark.range(0, 20).select(F.xxhash64("id").alias("h")).toPandas()[
+        "h"
+    ].to_numpy("int64")
+    est = cm.estimate_hashes(vals)
+    true = np.array([3 * (20 - v) for v in range(20)])
+    assert (est >= true).all()
