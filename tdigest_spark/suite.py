@@ -697,6 +697,36 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_word_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-gram shingle mode (the web-dedup configuration — words
+    hashed JVM-side, gram polynomial folded in NumPy): planted exact
+    copies always band together; appending one word leaves Jaccard ≈
+    grams/(grams+5), so 32×4 banding still catches every mutated
+    near-dup (documents here have ≥10 words; shorter docs fold all
+    word hashes into one shingle and only match exactly)."""
+    from tdigest_spark.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    all_docs = docs.unionByName(copies).unionByName(mutated)
+    sigs = minhash_signatures(all_docs, "doc_id", "text", shingle_unit="word")
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=32, num_hashes=128)
+    return cands.agg(
+        F.sum(
+            ((F.col("id_b") - F.col("id_a") == 1_000_000) & (F.col("id_a") < 1_000_000))
+            .cast("long")
+        ).alias("exact_caught"),
+        F.sum(
+            ((F.col("id_b") - F.col("id_a") == 2_000_000) & (F.col("id_a") < 1_000_000))
+            .cast("long")
+        ).alias("near_caught"),
+    )
+
+
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash chunk banding: identical docs (Hamming 0) all found."""
     from tdigest_spark.dedup import simhash_candidate_pairs, simhash_fingerprints
@@ -1983,6 +2013,7 @@ TDIGEST_ORACLES = {
 PIPELINE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
+    "minhash_word_lsh": q_minhash_word_lsh,
     "simhash_dups": q_simhash_dups,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
@@ -2032,6 +2063,9 @@ PIPELINE_ORACLES = {
         " WHERE b.doc_id <> g.keep_id ORDER BY keep_id, dup_id"
     ),
     "minhash_lsh": (
+        "SELECT COUNT(*) AS exact_caught, COUNT(*) AS near_caught FROM documents"
+    ),
+    "minhash_word_lsh": (
         "SELECT COUNT(*) AS exact_caught, COUNT(*) AS near_caught FROM documents"
     ),
     "simhash_dups": "SELECT COUNT(*) AS identical_caught FROM documents",

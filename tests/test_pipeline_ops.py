@@ -271,6 +271,44 @@ def test_fingerprints(docs, docs_with_dups, spark):
     assert {r["doc_id"]: r["w"] for r in wf} == {r["doc_id"]: r["w"] for r in wf2}
 
 
+def test_minhash_word_shingles(spark):
+    """Word-gram shingle mode: identical docs share signatures, a
+    one-word edit stays similar, disjoint-vocabulary docs share
+    nothing, short docs fall back to a whole-text hash that still
+    distinguishes distinct texts, NULL stays NULL."""
+    import numpy as np
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 20
+    rows = [
+        (1, base),
+        (2, base),
+        (3, base.replace("zeta", "zzz", 1)),
+        (4, "totally different words here nothing shared with others " * 20),
+        (5, "tiny doc"),
+        (6, "tiny doc"),
+        (7, "other tiny"),
+        (8, None),
+        (9, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig_df = dedup.minhash_signatures(df, "doc_id", "text", shingle_unit="word")
+    m = {r["doc_id"]: r["minhash"] for r in sig_df.collect()}
+    assert m[1] == m[2]
+    sim13 = np.mean(np.array(m[1]) == np.array(m[3]))
+    sim14 = np.mean(np.array(m[1]) == np.array(m[4]))
+    assert sim13 > 0.5 and sim14 < 0.1
+    assert m[5] == m[6] and m[5] != m[7]
+    assert m[8] is None and m[9] is not None
+    ps = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sig_df, "doc_id").collect()
+    }
+    assert {(1, 2), (1, 3), (5, 6)} <= ps
+    assert not any(4 in p for p in ps)
+    with pytest.raises(ValueError):
+        dedup.minhash_signatures(df, "doc_id", "text", shingle_unit="byte")
+
+
 def test_remove_duplicate_ngrams(spark):
     """A passage shared by two docs vanishes from both; unique prose
     survives; fully-duplicated and blank docs come back empty but
