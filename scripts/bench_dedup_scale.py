@@ -5,9 +5,9 @@ throughput on ~100k docs; this script runs the FULL pipelines —
 signatures/fingerprints -> banding -> candidate pairs -> clusters — on
 a generated 10M-page Common-Crawl-style corpus with 1M planted exact
 duplicates (ids 0..1M regenerate deterministically identical text under
-a shifted doc_id), and prints one JSON line with per-stage seconds,
-docs/s, candidate-pair counts, and cluster counts.  Numbers land in
-BENCH.md's "Dedup at volume" table.
+a shifted doc_id), and prints ONE JSON line on stdout with per-stage
+seconds, docs/s, candidate-pair counts, and cluster counts (progress
+goes to stderr).  Numbers land in BENCH.md's "Dedup at volume" table.
 
 Corpus caches in /tmp/tdigest_dedup (regenerated when n differs).
 
@@ -123,7 +123,11 @@ def main() -> None:
         "end_to_end_sec": round(t_sig + t_band + t_cluster, 1),
         "end_to_end_docs_per_sec": int(n_docs / (t_sig + t_band + t_cluster)),
     }
-    print(json.dumps({"minhash_done": out["minhash"]}), flush=True)
+    print(
+        json.dumps({"minhash_done": out["minhash"]}),
+        file=sys.stderr,
+        flush=True,
+    )
 
     # ---- SimHash + chunk banding ------------------------------------
     t0 = time.time()

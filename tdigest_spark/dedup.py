@@ -422,25 +422,18 @@ def word_ngrams(text: Column, n: int = 5) -> Column:
     return F.transform(F.array(w0), grams_of).getItem(0)
 
 
-_WORD_GRAM_BASE = np.uint64(1_000_003)
-
-
 def _word_gram_shingles(wh: np.ndarray, k: int) -> np.ndarray:
     """Unique word-``k``-gram shingle hashes from one document's
-    word-hash array (uint64): Horner polynomial over each length-k
-    window, wrapping mod 2^64 — equality-preserving (same word
-    sequence, same shingle).  A doc with fewer than ``k`` words folds
-    ALL its word hashes into one shingle, so identical short docs
-    still match and distinct ones don't."""
-    n = wh.size - k + 1
-    if n <= 0:
-        n, k = 1, wh.size
-    acc = wh[:n].copy()
-    with np.errstate(over="ignore"):
-        for j in range(1, k):
-            np.multiply(acc, _WORD_GRAM_BASE, out=acc)
-            np.add(acc, wh[j : j + n], out=acc)
-    return np.unique(acc)
+    word-hash array (uint64): the shared Horner polynomial kernel
+    (kernel.hashing.kgram_poly_hashes — same core as char shingling
+    and winnowing, just over word hashes instead of bytes),
+    equality-preserving (same word sequence, same shingle).  A doc
+    with fewer than ``k`` words folds ALL its word hashes into one
+    shingle, so identical short docs still match and distinct ones
+    don't."""
+    from tdigest_spark.kernel.hashing import kgram_poly_hashes
+
+    return np.unique(kgram_poly_hashes(wh, min(k, wh.size)))
 
 
 def duplicate_ngram_mass(df: DataFrame, text_col: str, n: int = 5) -> DataFrame:

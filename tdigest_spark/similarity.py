@@ -334,15 +334,27 @@ def ivf_topk_bucketed(
     """IVF-probed top-k over a stored bucketed index
     (``ivf_write_index``): the probe-list filter prunes the scan to the
     probed buckets — no assignment pass, no shuffle."""
-    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
-    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
-    probe_lists = sorted({int(v) for row in probes for v in row})
+    probe_lists = ivf_probe_lists(queries, centroids, n_probe)
     corpus = (
         spark.table(table_name)
         .filter(F.col(list_col).isin(probe_lists))
         .select(id_col, vec_col)
     )
     return cosine_topk(corpus, id_col, vec_col, queries, k=k)
+
+
+def ivf_probe_lists(
+    queries: list[tuple[int, list[float]]],
+    centroids: np.ndarray,
+    n_probe: int,
+) -> list[int]:
+    """The union of every query's ``n_probe`` nearest inverted lists —
+    the single source of probe selection for ``ivf_topk`` /
+    ``ivf_topk_bucketed`` (and for plan assertions that must check the
+    SAME scan the search runs)."""
+    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    return sorted({int(v) for row in probes for v in row})
 
 
 def ivf_topk(
@@ -358,9 +370,7 @@ def ivf_topk(
     nearest inverted lists.  At cluster scale the corpus is stored
     partitioned/bucketed by list_id so the scan prunes to the probed
     lists; here the filter is applied before the brute-force pass."""
-    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
-    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
-    probe_lists = sorted({int(v) for row in probes for v in row})
+    probe_lists = ivf_probe_lists(queries, centroids, n_probe)
 
     assigned = ivf_assign(df, id_col, vec_col, centroids)
     restricted = (

@@ -858,12 +858,10 @@ def q_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
     import shutil
 
-    import numpy as np
-
     from tdigest_spark.similarity import (
-        _normalize,
         cosine_topk,
         ivf_centroids,
+        ivf_probe_lists,
         ivf_topk_bucketed,
         ivf_write_index,
     )
@@ -872,27 +870,42 @@ def q_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = emb.filter(F.col("vec_id") < 10).collect()
     queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
     corpus = emb.filter(F.col("vec_id") >= 10)
-    cents = ivf_centroids(corpus, "embedding", n_lists=16)
+    n_buckets = 16
+    cents = ivf_centroids(corpus, "embedding", n_lists=n_buckets)
 
     table = "suite_ivf_index"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    shutil.rmtree(f"spark-warehouse/{table}", ignore_errors=True)
+    # clear a stale uncataloged directory under the session's ACTUAL
+    # warehouse (a crashed prior run leaves the dir but no catalog
+    # entry, so the DROP above is a no-op and saveAsTable would fail)
+    warehouse = re.sub(
+        r"^file:/{0,2}", "/", spark.conf.get("spark.sql.warehouse.dir")
+    ).replace("//", "/")
+    shutil.rmtree(f"{warehouse.rstrip('/')}/{table}", ignore_errors=True)
     try:
         ivf_write_index(
-            corpus, "vec_id", "embedding", cents, table, n_buckets=16
+            corpus, "vec_id", "embedding", cents, table, n_buckets=n_buckets
         )
         n_probe = 6
-        qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
-        probe_lists = sorted(
-            {int(v) for row in np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probe] for v in row}
-        )
+        # the SAME probe selection ivf_topk_bucketed runs (one source
+        # of truth), so the plan assertion checks the scan the recall
+        # measurement actually executes
+        probe_lists = ivf_probe_lists(queries, cents, n_probe)
         scan = spark.table(table).filter(F.col("list_id").isin(probe_lists))
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             scan.explain("formatted")
         plan = buf.getvalue()
         m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
-        pruned_ok = bool(m) and int(m.group(1)) < int(m.group(2)) == 16
+        # pruning applied (SelectedBucketsCount present), bounded by the
+        # probed lists, over the expected bucket total — deliberately
+        # not a strict < total, which would be data-dependent on probe
+        # coverage (10 queries × top-6 can legitimately touch all lists)
+        pruned_ok = (
+            bool(m)
+            and int(m.group(1)) <= len(probe_lists)
+            and int(m.group(2)) == n_buckets
+        )
 
         ivf = ivf_topk_bucketed(
             spark, table, "vec_id", "embedding", queries, cents,

@@ -302,9 +302,9 @@ def test_streaming_countmin_bounded_state_and_batch_parity(
     base = spark.range(0, 20).selectExpr(
         "explode(sequence(1, 20 - cast(id as int))) as rep", "id as v"
     )
-    for k in range(3):
+    for _ in range(3):  # three identical micro-batches
         base.select(
-            F.lit("g").alias("g"), F.xxhash64(F.col("v") + k * 0).alias("h")
+            F.lit("g").alias("g"), F.xxhash64(F.col("v")).alias("h")
         ).coalesce(1).write.mode("append").parquet(str(src))
     schema = spark.read.parquet(str(src)).schema
     stream = (
