@@ -11,8 +11,11 @@ goes to stderr).  Numbers land in BENCH.md's "Dedup at volume" table.
 
 Corpus caches in /tmp/tdigest_dedup (regenerated when n differs).
 
-Usage:  python scripts/bench_dedup_scale.py [n_docs] [cpus]
-        (n_docs counts UNIQUE docs; 10% duplicates are added on top)
+Usage:  python scripts/bench_dedup_scale.py [n_docs] [cpus] [substring]
+        (n_docs counts UNIQUE docs; 10% duplicates are added on top;
+        the optional third arg also runs exact-substring span removal
+        — its gram explode is ~140× the row count, so it is off by
+        default and typically run at a smaller n_docs)
 """
 
 from __future__ import annotations
@@ -162,6 +165,29 @@ def main() -> None:
         "removable_docs": int(groups["removable_docs"]),
         "end_to_end_sec": round(t_fp + t_group, 1),
     }
+
+    # ---- exact-substring span removal (optional: heavy explode) -----
+    if "substring" in sys.argv[3:]:
+        from tdigest_spark.dedup import remove_duplicate_ngrams
+
+        t0 = time.time()
+        cleaned = remove_duplicate_ngrams(docs, "doc_id", "text", n=5)
+        stats = cleaned.agg(
+            F.count("*").alias("n_docs_out"),
+            F.sum("n_tokens").alias("tokens_in"),
+            F.sum("n_removed").alias("tokens_removed"),
+        ).collect()[0]
+        t_sub = time.time() - t0
+        out["substring_dedup"] = {
+            "sec": round(t_sub, 1),
+            "docs_per_sec": int(n_docs / t_sub),
+            "n_docs_out": stats["n_docs_out"],
+            "tokens_in": int(stats["tokens_in"]),
+            "tokens_removed": int(stats["tokens_removed"]),
+            "removed_frac": round(
+                stats["tokens_removed"] / stats["tokens_in"], 4
+            ),
+        }
     print(json.dumps(out), flush=True)
 
 
