@@ -75,34 +75,36 @@ def q_salted_skew_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     of documents — the north-star hot-key shape): the engine's salt=8
     path splits every key's partials across 8 sub-keys before the
     per-key merge, so no single task ever folds a hot key's whole value
-    stream.  The salted plan must land the same p95 rank band as the
-    unsalted one AND agree with it digest-for-digest on count."""
+    stream.  Checks that actually bite: the salted digest's COUNT must
+    EQUAL the exact group count (a salt bug that drops or double-folds
+    a sub-key's partials changes the count even when the percentile
+    stays plausible), and the percentile estimated from that digest
+    must land the exact-rank band."""
     docs = _read(spark, sf_dir, "documents").select(
         "lang", F.col("n_chars").cast("double").alias("v")
     )
-    salted = tdigest_percentile(docs, "v", 100, 0.95, keys=["lang"], salt=8)
-    checked = _rank_err_ok(docs, ["lang"], "v", salted, "percentile", 0.95, 0.01)
-    plain = tdigest_percentile(docs, "v", 100, 0.95, keys=["lang"]).select(
-        "lang", F.col("percentile").alias("p_plain")
+    # ONE salted aggregation; count and percentile both read from the
+    # same built digest via §2.1.3 scalars (no second build pass)
+    est = tdigest(docs, "v", 100, keys=["lang"], salt=8).select(
+        "lang",
+        TF.tdigest_count(F.col("tdigest")).alias("n_dig"),
+        TF.tdigest_quantile(F.col("tdigest"), 0.95).alias("percentile"),
     )
-    return (
-        checked.join(salted.select("lang", "percentile"), "lang")
-        .join(plain, "lang")
-        .select(
-            "lang",
-            "n",
-            (
-                F.col("ok")
-                # same estimator family on the same data: the two plans
-                # may compact in different partial order but must agree
-                # within the rank band converted to value space — use
-                # the rank check on BOTH rather than value equality
-                & (F.col("p_plain") <= F.col("percentile") * 1.5)
-                & (F.col("percentile") <= F.col("p_plain") * 1.5)
-            ).alias("ok"),
-        )
-        .orderBy("lang")
+    checked = docs.join(F.broadcast(est), "lang").groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.first("n_dig").alias("n_dig"),
+        F.avg((F.col("v") <= F.col("percentile")).cast("double")).alias(
+            "rank"
+        ),
     )
+    return checked.select(
+        "lang",
+        "n",
+        (
+            (F.col("n_dig") == F.col("n"))
+            & (F.abs(F.col("rank") - 0.95) < 0.01)
+        ).alias("ok"),
+    ).orderBy("lang")
 
 
 def q_tdigest_monotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
