@@ -258,6 +258,68 @@ def streaming_countmin(
     )
 
 
+def streaming_kll(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k: int = 200,
+    result_col: str = "kll",
+) -> DataFrame:
+    """Maintain one KLL quantile sketch per group across micro-batches
+    — streaming order statistics with rank-error guarantees that the
+    t-digest form does not give (KLL's bound is distribution-free).
+    State is one serialized sketch whose compactor budget is bounded by
+    ``k`` (≈ 3k items worst case, ~5 KB at k=200) regardless of stream
+    length; NaN/NULL values are dropped like the batch engine does.
+    Emitted sketches merge with batch-built ``kll_sketch`` output
+    (same wire format).  Emits (keys..., kll binary, n long) on every
+    update."""
+    from tdigest_spark.kernel.kll import KLL
+
+    keys = list(keys)
+    key_fields = [f for f in stream_df.schema.fields if f.name in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField(result_col, BinaryType(), True),
+            StructField("n", LongType(), False),
+        ]
+    )
+    state_schema = StructType([StructField("kll", BinaryType(), True)])
+
+    def update(key, batches, state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            s = KLL.from_bytes(bytes(blob))
+        else:
+            s = KLL(k)
+        saw = False
+        for pdf in batches:
+            vals = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            vals = vals[~np.isnan(vals)]
+            if vals.size:
+                s.add_values(vals)
+                saw = True
+        if saw:
+            blob = s.to_bytes()
+            state.update((blob,))
+            yield pd.DataFrame(
+                {
+                    **{kname: [kv] for kname, kv in zip(keys, key)},
+                    result_col: [blob],
+                    "n": [int(s.n)],
+                }
+            )
+
+    return stream_df.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_windowed_tdigest(
     stream_df: DataFrame,
     ts_col: str,

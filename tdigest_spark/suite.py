@@ -1298,6 +1298,58 @@ def _run_stream_to_memory(spark, out, prefix: str):
     return spark.sql(f"SELECT * FROM {name}").collect()
 
 
+def q_streaming_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming order statistics: a per-type KLL sketch maintained
+    across 3 replayed micro-batches.  The final sketch's item count
+    must EQUAL the exact count (compaction preserves total weight) and
+    its median must land the exact-rank band — KLL's distribution-free
+    guarantee (~1.65/k rank error at k=200 is far inside the 0.05
+    tolerance for ~2k values per type)."""
+    from tdigest_spark.kernel.kll import KLL
+    from tdigest_spark.streaming.digest_stream import streaming_kll
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    stream = _replay_as_stream(spark, ev, "event_id", "suite_skll_src_")
+    rows = _run_stream_to_memory(
+        spark, streaming_kll(stream, ["event_type"], "value"), "suite_skll"
+    )
+    final: dict = {}
+    for r in rows:  # last update per type wins (n only grows)
+        if r["event_type"] not in final or r["n"] >= final[r["event_type"]][1]:
+            final[r["event_type"]] = (bytes(r["kll"]), r["n"])
+    est = spark.createDataFrame(
+        [
+            (t, int(n), float(KLL.from_bytes(b).quantile(0.5)))
+            for t, (b, n) in sorted(final.items())
+        ],
+        ["event_type", "n_stream", "median"],
+    )
+    return (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.first("n_stream").alias("n_stream"),
+            F.avg((F.col("value") <= F.col("median")).cast("double")).alias(
+                "rank"
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            (
+                (F.col("n_stream") == F.col("n"))
+                & (F.abs(F.col("rank") - 0.5) < 0.05)
+            ).alias("ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming heavy hitters: a per-group count-min maintained across
     3 replayed micro-batches over xxhash64(event_type).  The count-min
@@ -1931,6 +1983,7 @@ TDIGEST_QUERIES = {
     "streaming_digest": q_streaming_digest,
     "streaming_hll": q_streaming_hll,
     "streaming_countmin": q_streaming_countmin,
+    "streaming_kll": q_streaming_kll,
     "streaming_dedup": q_streaming_dedup,
     "streaming_windowed": q_streaming_windowed,
     "windowed_percentile": q_windowed_percentile,
@@ -2061,6 +2114,11 @@ TDIGEST_ORACLES = {
     ),
     "streaming_countmin": (
         "SELECT event_type, COUNT(*) AS n, TRUE AS ok FROM events"
+        " WHERE event_type IS NOT NULL GROUP BY event_type"
+        " ORDER BY event_type"
+    ),
+    "streaming_kll": (
+        "SELECT event_type, COUNT(value) AS n, TRUE AS ok FROM events"
         " WHERE event_type IS NOT NULL GROUP BY event_type"
         " ORDER BY event_type"
     ),

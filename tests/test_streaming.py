@@ -347,3 +347,54 @@ def test_streaming_countmin_bounded_state_and_batch_parity(
     est = cm.estimate_hashes(vals)
     true = np.array([3 * (20 - v) for v in range(20)])
     assert (est >= true).all()
+
+
+def test_streaming_kll_bounded_state_and_quantiles(spark, tmp_path_factory):
+    """Per-key KLL state stays bounded across batches (the serialized
+    sketch never exceeds its compactor budget even as n grows 3x), n
+    equals the exact value count, and the final median lands the
+    rank band on the union of all batches."""
+    import numpy as np
+
+    from tdigest_spark.kernel.kll import KLL
+    from tdigest_spark.streaming.digest_stream import streaming_kll
+
+    src = tmp_path_factory.mktemp("skll_src")
+    # batch k carries values k*1000 .. k*1000+2999 (disjoint ranges, so
+    # the stream's distribution shifts between batches)
+    for k in range(3):
+        spark.range(k * 1000, k * 1000 + 3000).select(
+            F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_kll(stream, ["g"], "v", k=200)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("skll_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("skll_ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM skll_t").collect()
+    assert len(rows) == 3
+    assert sorted(r["n"] for r in rows) == [3000, 6000, 9000]
+    # bounded state: the 9000-value sketch is no bigger than ~3k items
+    sizes = {r["n"]: len(bytes(r["kll"])) for r in rows}
+    assert sizes[9000] <= 3 * 200 * 8 + 4096
+    final = KLL.from_bytes(bytes(max(rows, key=lambda r: r["n"])["kll"]))
+    assert final.n == 9000
+    # batch ranges 0-2999 / 1000-3999 / 2000-4999 overlap, so check the
+    # median by exact rank over the full multiset rather than by value
+    vals = np.concatenate(
+        [np.arange(k * 1000, k * 1000 + 3000) for k in range(3)]
+    ).astype(np.float64)
+    med = final.quantile(0.5)
+    rank = (vals <= med).mean()
+    assert abs(rank - 0.5) < 0.03
