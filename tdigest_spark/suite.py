@@ -1298,6 +1298,68 @@ def _run_stream_to_memory(spark, out, prefix: str):
     return spark.sql(f"SELECT * FROM {name}").collect()
 
 
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable two-stage build (north rule: "resumable from
+    checkpoint with per-partition lineage + metrics"): stage 1 writes
+    per-split partial digests + lineage under a _SUCCESS marker;
+    lineage must balance exactly (rows consumed == Σ digest counts ==
+    exact input rows); a second invocation against a POISONED input
+    (values ×1000) must return bit-identical results — only true if it
+    resumed from the checkpoint instead of rescanning; and the final
+    p95 must land the exact-rank band."""
+    import shutil
+    import tempfile
+
+    from tdigest_spark.checkpoint import (
+        checkpointed_percentile,
+        read_partials,
+        verify_lineage,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("double").alias("v")
+    )
+    root = tempfile.mkdtemp(prefix="suite_ckpt_resume_")
+    ckpt = f"{root}/digests"
+    try:
+        r1 = {
+            r["lang"]: r["percentile"]
+            for r in checkpointed_percentile(
+                docs, ["lang"], "v", 100, 0.95, ckpt
+            ).collect()
+        }
+        lin = verify_lineage(read_partials(spark, ckpt), expected_rows=docs.count())
+        poisoned = docs.withColumn("v", F.col("v") * 1000)
+        r2 = {
+            r["lang"]: r["percentile"]
+            for r in checkpointed_percentile(
+                poisoned, ["lang"], "v", 100, 0.95, ckpt
+            ).collect()
+        }
+        resumed = r1 == r2 and bool(lin["consistent"])
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    est = spark.createDataFrame(
+        sorted(r1.items()), ["lang", "p95"]
+    )
+    return (
+        docs.join(F.broadcast(est), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg((F.col("v") <= F.col("p95")).cast("double")).alias("rank"),
+        )
+        .select(
+            "lang",
+            "n",
+            (
+                (F.abs(F.col("rank") - 0.95) < 0.01) & F.lit(resumed)
+            ).alias("ok"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_streaming_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming order statistics: a per-type KLL sketch maintained
     across 3 replayed micro-batches.  The final sketch's item count
@@ -1984,6 +2046,7 @@ TDIGEST_QUERIES = {
     "streaming_hll": q_streaming_hll,
     "streaming_countmin": q_streaming_countmin,
     "streaming_kll": q_streaming_kll,
+    "checkpoint_resume": q_checkpoint_resume,
     "streaming_dedup": q_streaming_dedup,
     "streaming_windowed": q_streaming_windowed,
     "windowed_percentile": q_windowed_percentile,
@@ -2121,6 +2184,10 @@ TDIGEST_ORACLES = {
         "SELECT event_type, COUNT(value) AS n, TRUE AS ok FROM events"
         " WHERE event_type IS NOT NULL GROUP BY event_type"
         " ORDER BY event_type"
+    ),
+    "checkpoint_resume": (
+        "SELECT lang, COUNT(*) AS n, TRUE AS ok FROM documents "
+        "GROUP BY lang ORDER BY lang"
     ),
     "streaming_dedup": (
         "SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_in,"
