@@ -320,6 +320,67 @@ def streaming_kll(
     )
 
 
+def streaming_topk(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    item_col: str,
+    m: int = 256,
+    result_col: str = "topk",
+) -> DataFrame:
+    """Maintain one SpaceSaving top-k sketch per group across
+    micro-batches — streaming heavy hitters WITH identities (count-min
+    answers "how often is X?"; this answers "what are the top items?").
+    State is ``m`` (item, count, error) counters regardless of stream
+    length; every item with true frequency > N/m is retained, and the
+    sketch is EXACT while distinct items stay ≤ m.  NULL items are
+    dropped like the batch engine does; emitted sketches share the
+    batch ``topk_sketch`` wire format and merge with it.  Emits
+    (keys..., topk binary, n long) on every update."""
+    from tdigest_spark.kernel.topk import SpaceSaving
+
+    keys = list(keys)
+    key_fields = [f for f in stream_df.schema.fields if f.name in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField(result_col, BinaryType(), True),
+            StructField("n", LongType(), False),
+        ]
+    )
+    state_schema = StructType([StructField("topk", BinaryType(), True)])
+
+    def update(key, batches, state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            s = SpaceSaving.from_bytes(bytes(blob))
+        else:
+            s = SpaceSaving(m)
+        saw = False
+        for pdf in batches:
+            items = pdf[item_col].dropna()
+            if len(items):
+                s.add_items(items.tolist())
+                saw = True
+        if saw:
+            blob = s.to_bytes()
+            state.update((blob,))
+            yield pd.DataFrame(
+                {
+                    **{kname: [kv] for kname, kv in zip(keys, key)},
+                    result_col: [blob],
+                    "n": [int(s.n)],
+                }
+            )
+
+    return stream_df.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_windowed_tdigest(
     stream_df: DataFrame,
     ts_col: str,

@@ -1298,6 +1298,40 @@ def _run_stream_to_memory(spark, out, prefix: str):
     return spark.sql(f"SELECT * FROM {name}").collect()
 
 
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters with identities: a SpaceSaving sketch
+    maintained across 3 replayed micro-batches.  The event stream has
+    5 distinct types « m=256 counters, so the sketch is provably EXACT
+    — the emitted counts themselves are hash-compared against DuckDB's
+    exact GROUP BY counts, with zero error terms and total
+    conservation asserted on top."""
+    from tdigest_spark.kernel.topk import SpaceSaving
+    from tdigest_spark.streaming.digest_stream import streaming_topk
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("event_id", F.lit("all").alias("g"), "event_type")
+    )
+    stream = _replay_as_stream(spark, ev, "event_id", "suite_stopk_src_")
+    rows = _run_stream_to_memory(
+        spark, streaming_topk(stream, ["g"], "event_type"), "suite_stopk"
+    )
+    final = max(rows, key=lambda r: r["n"])  # last update wins
+    s = SpaceSaving.from_bytes(bytes(final["topk"]))
+    top = s.top(1000)
+    exact_and_conserved = all(err == 0 for _, _, err in top) and s.n == sum(
+        cnt for _, cnt, _ in top
+    )
+    return spark.createDataFrame(
+        [
+            (item, int(cnt), bool(exact_and_conserved))
+            for item, cnt, _ in sorted(top)
+        ],
+        "event_type string, n long, ok boolean",
+    )
+
+
 def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resumable two-stage build (north rule: "resumable from
     checkpoint with per-partition lineage + metrics"): stage 1 writes
@@ -2047,6 +2081,7 @@ TDIGEST_QUERIES = {
     "streaming_countmin": q_streaming_countmin,
     "streaming_kll": q_streaming_kll,
     "checkpoint_resume": q_checkpoint_resume,
+    "streaming_topk": q_streaming_topk,
     "streaming_dedup": q_streaming_dedup,
     "streaming_windowed": q_streaming_windowed,
     "windowed_percentile": q_windowed_percentile,
@@ -2188,6 +2223,11 @@ TDIGEST_ORACLES = {
     "checkpoint_resume": (
         "SELECT lang, COUNT(*) AS n, TRUE AS ok FROM documents "
         "GROUP BY lang ORDER BY lang"
+    ),
+    "streaming_topk": (
+        "SELECT event_type, COUNT(*) AS n, TRUE AS ok FROM events"
+        " WHERE event_type IS NOT NULL GROUP BY event_type"
+        " ORDER BY event_type"
     ),
     "streaming_dedup": (
         "SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_in,"

@@ -398,3 +398,57 @@ def test_streaming_kll_bounded_state_and_quantiles(spark, tmp_path_factory):
     med = final.quantile(0.5)
     rank = (vals <= med).mean()
     assert abs(rank - 0.5) < 0.03
+
+
+def test_streaming_topk_eviction_and_guarantees(spark, tmp_path_factory):
+    """With distinct items exceeding the m=8 counters the SpaceSaving
+    guarantees must hold across micro-batches: every item with true
+    frequency > N/m is retained, estimates are one-sided within the
+    N/m error bound, and state stays at m counters."""
+    from tdigest_spark.kernel.topk import SpaceSaving
+    from tdigest_spark.streaming.digest_stream import streaming_topk
+
+    src = tmp_path_factory.mktemp("stopk_src")
+    # 20 distinct items, zipf-ish: item_j appears (21-j)*3 times/batch
+    base = spark.range(1, 21).selectExpr(
+        "explode(sequence(1, 3 * (21 - cast(id as int)))) as rep",
+        "concat('item', id) as item",
+    )
+    for _ in range(3):
+        base.select(F.lit("g").alias("g"), "item").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_topk(stream, ["g"], "item", m=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stopk_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("stopk_ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stopk_t").collect()
+    assert len(rows) == 3
+    n_total = 3 * sum(3 * (21 - j) for j in range(1, 21))  # 1890
+    final = SpaceSaving.from_bytes(
+        bytes(max(rows, key=lambda r: r["n"])["topk"])
+    )
+    assert final.n == n_total == max(r["n"] for r in rows)
+    top = final.top(8)
+    assert len(top) == 8  # state bounded at m counters
+    true = {f"item{j}": 3 * 3 * (21 - j) for j in range(1, 21)}
+    bound = n_total / 8
+    retained = {item for item, _, _ in top}
+    for item, freq in true.items():
+        if freq > bound:
+            assert item in retained, (item, freq, bound)
+    for item, est, err in top:
+        assert true[item] <= est <= true[item] + err
+        assert err <= bound
