@@ -73,17 +73,26 @@ def cosine_topk(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = _normalize(_to_matrix(pdf[vec_col]))
             sims = qmat_ @ mat.T  # (q, batch)
-            # merge batch into running top-k per query
+            # merge batch into running top-k per query, tie-breaking
+            # equal sims by ascending neighbor id so the selected set
+            # cannot depend on partition layout / batch order (the
+            # r04 driver flip: near-tie boundaries flipped with
+            # parallelism)
             all_sims = np.concatenate([best_sims, sims], axis=1)
             all_ids = np.concatenate(
                 [best_ids, np.broadcast_to(ids, (len(qids_), ids.size))], axis=1
             )
-            sel = np.argpartition(-all_sims, kth=min(k - 1, all_sims.shape[1] - 1), axis=1)[
-                :, :k
-            ]
-            rows = np.arange(len(qids_))[:, None]
-            best_sims = all_sims[rows, sel]
-            best_ids = all_ids[rows, sel]
+            new_sims = np.empty((len(qids_), min(k, all_sims.shape[1])))
+            new_ids = np.empty_like(new_sims, dtype=np.int64)
+            for qi in range(len(qids_)):
+                order = np.lexsort((all_ids[qi], -all_sims[qi]))[: new_sims.shape[1]]
+                new_sims[qi] = all_sims[qi, order]
+                new_ids[qi] = all_ids[qi, order]
+            if new_sims.shape[1] < k:
+                pad = k - new_sims.shape[1]
+                new_sims = np.pad(new_sims, ((0, 0), (0, pad)), constant_values=-np.inf)
+                new_ids = np.pad(new_ids, ((0, 0), (0, pad)), constant_values=-1)
+            best_sims, best_ids = new_sims, new_ids
         # unfilled slots keep sim=-inf — mask on the sims, NOT on
         # id >= 0: legitimate neighbor ids may be negative (e.g.
         # xxhash64-derived), and -1 is only the placeholder id
@@ -108,7 +117,12 @@ def cosine_topk(
     )
 
     def global_merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("sim", ascending=False).head(k)
+        # same (sim desc, id asc) tie-break as the partial phase —
+        # stable mergesort so equal (sim, id) rows (duplicated across
+        # partition partials) keep a deterministic order too
+        pdf = pdf.sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
         return pd.DataFrame(
             {
                 "query_id": pdf["query_id"].to_numpy(),
@@ -238,11 +252,23 @@ def ivf_centroids(
     sample_rows: int = 10_000,
     iters: int = 10,
     seed: int = 42,
+    order_col: str | None = None,
 ) -> np.ndarray:
     """Train an IVF coarse quantizer: deterministic Lloyd k-means on a
     driver-side sample of normalized vectors (k-means++-style farthest
-    seeding from a seeded start).  Returns (n_lists, dim) float64."""
-    sample = df.select(vec_col).limit(sample_rows).collect()
+    seeding from a seeded start).  Returns (n_lists, dim) float64.
+
+    Pass ``order_col`` (an id column) whenever reproducible centroids
+    matter: a bare ``limit()`` sample follows partition/scheduling
+    order, so the rows feeding the seeded RNG — and hence the trained
+    centroids — would vary across environments.  With ``order_col`` the
+    sample is a TakeOrdered (sort pushed into the scan, only
+    ``sample_rows`` rows reach the driver) and training is bit-stable
+    for a given corpus."""
+    sel = df.select(*( [order_col] if order_col else [] ), vec_col)
+    if order_col is not None:
+        sel = sel.orderBy(order_col)
+    sample = sel.limit(sample_rows).collect()
     X = _normalize(np.array([r[vec_col] for r in sample], dtype=np.float64))
     rng = np.random.RandomState(seed)
     # seeded farthest-point init (deterministic)

@@ -866,8 +866,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = emb.filter(F.col("vec_id") < 10).collect()
     queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
     corpus = emb.filter(F.col("vec_id") >= 10)
-    cents = ivf_centroids(corpus, "embedding", n_lists=16)
-    ivf = ivf_topk(corpus, "vec_id", "embedding", queries, cents, k=10, n_probe=6)
+    cents = ivf_centroids(corpus, "embedding", n_lists=16, order_col="vec_id")
+    ivf = ivf_topk(corpus, "vec_id", "embedding", queries, cents, k=10, n_probe=8)
     exact = cosine_topk(corpus, "vec_id", "embedding", queries, k=10)
     hit = exact.select("query_id", "neighbor_id").join(
         ivf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
@@ -908,7 +908,7 @@ def q_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
     corpus = emb.filter(F.col("vec_id") >= 10)
     n_buckets = 16
-    cents = ivf_centroids(corpus, "embedding", n_lists=n_buckets)
+    cents = ivf_centroids(corpus, "embedding", n_lists=n_buckets, order_col="vec_id")
 
     table = "suite_ivf_index"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -923,7 +923,7 @@ def q_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_write_index(
             corpus, "vec_id", "embedding", cents, table, n_buckets=n_buckets
         )
-        n_probe = 6
+        n_probe = 8
         # the SAME probe selection ivf_topk_bucketed runs (one source
         # of truth), so the plan assertion checks the scan the recall
         # measurement actually executes
@@ -954,12 +954,19 @@ def q_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["query_id", "neighbor_id"],
             "left_semi",
         )
+        # recall@10 with measured headroom: the 0.7 bar is the gate,
+        # the 0.85 bar proves the gate is not sitting on the edge
+        # (the r04 driver flip was a zero-headroom boolean).  The raw
+        # recall value is asserted in tests/ and recorded in BENCH.md;
+        # the driver row carries the banded booleans so a one-neighbor
+        # float near-tie can never flip the hash.
         verdict = (
             exact.agg(F.count("*").alias("n_exact"))
             .crossJoin(hit.agg(F.count("*").alias("n_hit")))
             .select(
                 F.lit(10).cast("long").alias("n_queries"),
                 (F.col("n_hit") >= F.col("n_exact") * 0.7).alias("recall_ok"),
+                (F.col("n_hit") >= F.col("n_exact") * 0.85).alias("recall_hi"),
                 F.lit(pruned_ok).alias("pruned_ok"),
             )
             .collect()
@@ -967,7 +974,8 @@ def q_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     return spark.createDataFrame(
-        verdict, "n_queries long, recall_ok boolean, pruned_ok boolean"
+        verdict,
+        "n_queries long, recall_ok boolean, recall_hi boolean, pruned_ok boolean",
     )
 
 
@@ -2363,7 +2371,7 @@ PIPELINE_ORACLES = {
     "ann_ivf": "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok",
     "ann_ivf_bucketed": (
         "SELECT CAST(10 AS BIGINT) AS n_queries, TRUE AS recall_ok,"
-        " TRUE AS pruned_ok"
+        " TRUE AS recall_hi, TRUE AS pruned_ok"
     ),
     "token_stats": (
         "SELECT lang, COUNT(*) AS n_docs,"
