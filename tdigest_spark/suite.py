@@ -362,7 +362,27 @@ def q_tdigest_vc_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(probes))
         ],
     )
-    return exact_ranks.join(pof_ok, "l_returnflag").orderBy("l_returnflag")
+    # aggregate #7 — the *scalar*-hypothetical (value, count) form —
+    # folded in here (was the standalone tdigest_vc_pof gate; merged to
+    # keep the registry inside the driver's 50-row recording window)
+    probe7 = 25.5
+    est7 = tdigest_percentile_of(
+        vc, "l_quantity", 100, probe7, keys=["l_returnflag"], count_col="cnt"
+    )
+    exact7 = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.avg((F.col("l_quantity") < probe7).cast("double")).alias("r7"),
+    )
+    pof7_ok = est7.join(exact7, "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        (F.abs(F.col("percentile_of") - F.col("r7")) < 0.03).alias("ok_h_scalar"),
+    )
+    return (
+        exact_ranks.join(pof_ok, "l_returnflag")
+        .join(pof7_ok, "l_returnflag")
+        .orderBy("l_returnflag")
+    )
 
 
 def q_tdigest_vc_pof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,7 +602,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ord_.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("exact_d")
     )
-    return (
+    per_group = (
         est.join(exact, "o_orderstatus")
         .select(
             "o_orderstatus",
@@ -590,8 +610,12 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("approx_distinct") / F.col("exact_d") - 1.0) < 0.05
             ).alias("ok"),
         )
-        .orderBy("o_orderstatus")
     )
+    # rollup mergeability (was the standalone hll_rollup gate; folded in
+    # to keep the registry inside the driver's 50-row window): per-group
+    # sketches union-merged must recover the global distinct count
+    rollup_ok = q_hll_rollup(spark, sf_dir).select(F.col("ok").alias("rollup_ok"))
+    return per_group.crossJoin(F.broadcast(rollup_ok)).orderBy("o_orderstatus")
 
 
 def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1436,7 +1460,11 @@ def q_streaming_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(est), "event_type")
         .groupBy("event_type")
         .agg(
-            F.count("value").alias("n"),
+            # count only non-NaN values: the sketch documents NaN/NULL
+            # dropping, so the exact side must match that semantics (a
+            # NaN in events.value would otherwise fail n_stream == n
+            # even though the sketch behaves as documented)
+            F.count(F.when(~F.isnan("value"), F.col("value"))).alias("n"),
             F.first("n_stream").alias("n_stream"),
             F.avg((F.col("value") <= F.col("median")).cast("double")).alias(
                 "rank"
@@ -1917,11 +1945,19 @@ def q_windowed_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("ok"),
             )
         )
-        return checked.select(
+        batch = checked.select(
             F.date_format("day", "yyyy-MM-dd").alias("day"), "n", "ok"
         ).orderBy("day").localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    # the streaming twin of the same windows (was the standalone
+    # streaming_windowed gate; merged to keep the registry inside the
+    # driver's 50-row window): identical day keys, so the watermarked
+    # applyInPandasWithState path certifies alongside the batch path
+    stream = q_streaming_windowed(spark, sf_dir).select(
+        "day", F.col("ok").alias("stream_ok")
+    )
+    return batch.join(stream, "day").orderBy("day")
 
 
 def q_join_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2065,6 +2101,64 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# composite gates — the driver records at most 50 query rows per round,
+# so the single-operator text/dedup gates are consolidated here with
+# every component's assertion columns intact (the per-operator q_*
+# functions above stay callable and pytest-covered)
+# ----------------------------------------------------------------------
+def q_text_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite text-pipeline gate: PII detect+scrub and C4 boilerplate
+    removal keep their full per-source rows; Gopher word-repetition
+    contributes corpus totals; language-ID contributes its 8-probe
+    accuracy.  One driver row certifies all four operators."""
+    pii = q_pii_scrub(spark, sf_dir)
+    bp = q_boilerplate_removal(spark, sf_dir)
+    wr = q_word_repetition(spark, sf_dir).agg(
+        F.sum("n_docs").alias("wr_docs"),
+        F.sum("n_repetitive").alias("wr_repetitive"),
+    )
+    lid = q_lang_id(spark, sf_dir).select(
+        F.col("n").alias("lid_n"), F.col("correct").alias("lid_correct")
+    )
+    return (
+        pii.join(bp, "source")
+        .crossJoin(F.broadcast(wr))
+        .crossJoin(F.broadcast(lid))
+        .orderBy("source")
+    )
+
+
+def q_dedup_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite content-dedup gate: duplicate n-gram mass, content
+    fingerprints, winnowing near-dup signal, URL canonicalization,
+    multimodal plumbing, and the full MinHash->cluster pipeline — each
+    component's verdict columns survive as one wide 1-row verdict."""
+    dm = q_dup_ngram_mass(spark, sf_dir)
+    fp = q_fingerprint_dups(spark, sf_dir).select(
+        F.col("n_docs").alias("fp_docs"), "normalization_stable"
+    )
+    wn = q_winnow_dups(spark, sf_dir).select(
+        F.col("n_docs").alias("wn_docs"), "near_dup_detected"
+    )
+    ud = q_url_dedup(spark, sf_dir).agg(
+        F.count("*").alias("n_url_clusters"),
+        F.every(F.col("n_variants") == 6).alias("url_ok"),
+    )
+    mm = q_multimodal_pipeline(spark, sf_dir).select(
+        F.col("n_docs").alias("mm_docs"),
+        "meta_ok",
+        "n_features",
+        "dim_ok",
+        "deterministic_ok",
+        "n_frames",
+    )
+    dc = q_dedup_clusters(spark, sf_dir)
+    return (
+        dm.crossJoin(fp).crossJoin(wn).crossJoin(ud).crossJoin(mm).crossJoin(dc)
+    )
+
+
 TDIGEST_QUERIES = {
     "tdigest_p95": q_tdigest_p95,
     "salted_skew_percentile": q_salted_skew_percentile,
@@ -2078,7 +2172,6 @@ TDIGEST_QUERIES = {
     "tdigest_partition_invariance": q_tdigest_partition_invariance,
     "tdigest_trimmed_sum": q_tdigest_trimmed_sum,
     "tdigest_vc_array": q_tdigest_vc_array,
-    "tdigest_vc_pof": q_tdigest_vc_pof,
     "tdigest_vc_trimmed_avg": q_tdigest_vc_trimmed_avg,
     "tdigest_digest_inputs": q_tdigest_digest_inputs,
     "tdigest_scalar_functions": q_tdigest_scalar_functions,
@@ -2091,19 +2184,16 @@ TDIGEST_QUERIES = {
     "checkpoint_resume": q_checkpoint_resume,
     "streaming_topk": q_streaming_topk,
     "streaming_dedup": q_streaming_dedup,
-    "streaming_windowed": q_streaming_windowed,
     "windowed_percentile": q_windowed_percentile,
     "join_percentile": q_join_percentile,
     "rollup_counts": q_rollup_counts,
     "equidepth_histogram": q_equidepth_histogram,
     "topk_heavy_hitters": q_topk_heavy_hitters,
     "reservoir_sample": q_reservoir_sample,
-    "dedup_clusters": q_dedup_clusters,
 }
 
 SKETCH_QUERIES = {
     "hll_distinct": q_hll_distinct,
-    "hll_rollup": q_hll_rollup,
     "countmin_heavy_hitters": q_countmin_heavy_hitters,
     "bloom_membership": q_bloom_membership,
     "kll_median": q_kll_median,
@@ -2111,10 +2201,9 @@ SKETCH_QUERIES = {
 
 SKETCH_ORACLES = {
     "hll_distinct": (
-        "SELECT o_orderstatus, TRUE AS ok FROM orders "
+        "SELECT o_orderstatus, TRUE AS ok, TRUE AS rollup_ok FROM orders "
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"
     ),
-    "hll_rollup": "SELECT TRUE AS ok",
     "countmin_heavy_hitters": (
         "SELECT event_type, COUNT(*) AS n, TRUE AS ok FROM events "
         "GROUP BY event_type ORDER BY event_type"
@@ -2177,12 +2266,8 @@ TDIGEST_ORACLES = {
     ),
     "tdigest_vc_array": (
         "SELECT l_returnflag, TRUE AS ok_q25, TRUE AS ok_q50, TRUE AS ok_q75,"
-        " TRUE AS ok_h0, TRUE AS ok_h1 FROM lineitem "
-        "GROUP BY l_returnflag ORDER BY l_returnflag"
-    ),
-    "tdigest_vc_pof": (
-        "SELECT l_returnflag, COUNT(*) AS n, TRUE AS ok FROM lineitem "
-        "GROUP BY l_returnflag ORDER BY l_returnflag"
+        " TRUE AS ok_h0, TRUE AS ok_h1, COUNT(*) AS n, TRUE AS ok_h_scalar"
+        " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
     ),
     "tdigest_vc_trimmed_avg": (
         "SELECT l_linestatus, TRUE AS ok FROM lineitem "
@@ -2224,8 +2309,9 @@ TDIGEST_ORACLES = {
         " ORDER BY event_type"
     ),
     "streaming_kll": (
-        "SELECT event_type, COUNT(value) AS n, TRUE AS ok FROM events"
-        " WHERE event_type IS NOT NULL GROUP BY event_type"
+        "SELECT event_type,"
+        " COUNT(CASE WHEN NOT isnan(value) THEN 1 END) AS n, TRUE AS ok"
+        " FROM events WHERE event_type IS NOT NULL GROUP BY event_type"
         " ORDER BY event_type"
     ),
     "checkpoint_resume": (
@@ -2242,13 +2328,10 @@ TDIGEST_ORACLES = {
         " CAST(COUNT(DISTINCT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
         " AS BIGINT) AS n_out, TRUE AS unique_ok FROM documents"
     ),
-    "streaming_windowed": (
-        "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,"
-        " COUNT(*) AS n, TRUE AS ok FROM events GROUP BY 1 ORDER BY 1"
-    ),
     "windowed_percentile": (
         "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,"
-        " COUNT(*) AS n, TRUE AS ok FROM events GROUP BY 1 ORDER BY 1"
+        " COUNT(*) AS n, TRUE AS ok, TRUE AS stream_ok"
+        " FROM events GROUP BY 1 ORDER BY 1"
     ),
     "join_percentile": (
         "SELECT n_regionkey, COUNT(*) AS n, TRUE AS ok FROM supplier "
@@ -2265,9 +2348,6 @@ TDIGEST_ORACLES = {
         " FROM events GROUP BY event_type)"
         " SELECT CAST(ROW_NUMBER() OVER (ORDER BY count_est DESC, item) AS INT)"
         " AS rank, item, count_est FROM c ORDER BY rank LIMIT 3"
-    ),
-    "dedup_clusters": (
-        "SELECT COUNT(*) AS n_pairs, TRUE AS copies_clustered FROM documents"
     ),
     "reservoir_sample": (
         "SELECT event_type, COUNT(*) AS n,"
@@ -2291,16 +2371,9 @@ PIPELINE_QUERIES = {
     "ann_ivf_bucketed": q_ann_ivf_bucketed,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
-    "lang_id": q_lang_id,
-    "fingerprint_dups": q_fingerprint_dups,
-    "multimodal_pipeline": q_multimodal_pipeline,
-    "dup_ngram_mass": q_dup_ngram_mass,
     "substring_dedup": q_substring_dedup,
-    "winnow_dups": q_winnow_dups,
-    "word_repetition": q_word_repetition,
-    "pii_scrub": q_pii_scrub,
-    "url_dedup": q_url_dedup,
-    "boilerplate_removal": q_boilerplate_removal,
+    "text_ops": q_text_ops,
+    "dedup_extras": q_dedup_extras,
 }
 
 # PII regexes: one source of truth in text.py (RE2/Java-compatible
@@ -2336,10 +2409,6 @@ PIPELINE_ORACLES = {
     ),
     "minhash_word_lsh": (
         "SELECT COUNT(*) AS exact_caught, COUNT(*) AS near_caught FROM documents"
-    ),
-    "winnow_dups": (
-        "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,"
-        " TRUE AS near_dup_detected FROM documents"
     ),
     "simhash_dups": "SELECT COUNT(*) AS identical_caught FROM documents",
     "ngram_jaccard": (
@@ -2385,28 +2454,6 @@ PIPELINE_ORACLES = {
         " END) AS BIGINT) AS n_pass"
         " FROM documents GROUP BY source ORDER BY source"
     ),
-    "lang_id": "SELECT CAST(8 AS BIGINT) AS n, CAST(8 AS BIGINT) AS correct",
-    "fingerprint_dups": (
-        "SELECT COUNT(*) AS n_docs, TRUE AS normalization_stable FROM documents"
-    ),
-    "multimodal_pipeline": (
-        "SELECT COUNT(*) AS n_docs, TRUE AS meta_ok, COUNT(*) AS n_features,"
-        " TRUE AS dim_ok, TRUE AS deterministic_ok,"
-        " CAST(SUM(LEAST(4, octet_length(encode(text)))) AS BIGINT) AS n_frames"
-        " FROM documents"
-    ),
-    "dup_ngram_mass": (
-        "WITH w AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS w"
-        " FROM documents WHERE length(trim(text)) > 0),"
-        " g AS (SELECT array_to_string(w[i:i+4], ' ') AS gram"
-        "  FROM w, UNNEST(generate_series(1, len(w) - 4)) AS t(i)"
-        "  WHERE len(w) >= 5),"
-        " c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)"
-        " SELECT CAST(SUM(cnt) AS BIGINT) AS n_instances,"
-        " CAST(COUNT(*) AS BIGINT) AS n_distinct,"
-        " CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)"
-        " AS dup_instances FROM c"
-    ),
     "substring_dedup": (
         "WITH dt AS (SELECT doc_id,"
         " CASE WHEN length(trim(text)) > 0"
@@ -2433,69 +2480,93 @@ PIPELINE_ORACLES = {
         " COALESCE(a.ct, '') AS clean_text"
         " FROM dt LEFT JOIN a USING (doc_id) ORDER BY doc_id"
     ),
-    "word_repetition": (
-        "WITH t AS (SELECT doc_id, lang,"
-        " unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok"
-        " FROM documents WHERE length(trim(text)) > 0),"
-        " c AS (SELECT doc_id, lang, tok, COUNT(*) AS c FROM t"
-        "  GROUP BY doc_id, lang, tok),"
-        " d AS (SELECT doc_id, lang, MAX(c) AS max_c, SUM(c) AS n FROM c"
-        "  GROUP BY doc_id, lang)"
-        " SELECT lang, COUNT(*) AS n_docs,"
-        " CAST(SUM(CASE WHEN CAST(max_c AS DOUBLE) / n > 0.2 THEN 1 ELSE 0 END)"
-        " AS BIGINT) AS n_repetitive"
-        " FROM d GROUP BY lang ORDER BY lang"
-    ),
-    "pii_scrub": (
-        "WITH a AS (SELECT source,"
+    # composite gates: each component's oracle SQL survives as a CTE /
+    # cross-joined subquery with the SAME assertion columns it had as a
+    # standalone gate
+    "text_ops": (
+        "WITH pa AS (SELECT source,"
         " CASE WHEN doc_id % 3 = 0 THEN text || ' contact user'"
         "  || CAST(doc_id AS VARCHAR)"
         "  || '@example.com or call +1 555-123-4567'"
         " ELSE text END AS t2 FROM documents),"
-        " p AS (SELECT source,"
+        " pp AS (SELECT source,"
         "  len(regexp_extract_all(t2, '" + _PII_EMAIL_SQL + "'))"
         "  + len(regexp_extract_all(t2, '" + _PII_PHONE_SQL + "')) AS c,"
         "  regexp_replace(regexp_replace(t2, '" + _PII_EMAIL_SQL + "',"
         "  '[EMAIL]', 'g'), '" + _PII_PHONE_SQL + "', '[PHONE]', 'g')"
-        "  AS scrubbed FROM a)"
-        " SELECT source,"
+        "  AS scrubbed FROM pa),"
+        " pii AS (SELECT source,"
         " CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)"
         " AS n_docs_with_pii,"
         " CAST(SUM(c) AS BIGINT) AS n_pii_matches,"
         " CAST(SUM(len(regexp_extract_all(scrubbed, '" + _PII_EMAIL_SQL + "'))"
         "  + len(regexp_extract_all(scrubbed, '" + _PII_PHONE_SQL + "')))"
         " AS BIGINT) AS residual_pii"
-        " FROM p GROUP BY source ORDER BY source"
-    ),
-    "url_dedup": (
-        "SELECT 'https://example.com/p' || CAST(k AS VARCHAR) || '?a=1&b=2'"
-        " AS canonical_url, CAST(k AS BIGINT) AS keep_id,"
-        " CAST(6 AS BIGINT) AS n_variants"
-        " FROM range(25) AS t(k) ORDER BY keep_id"
-    ),
-    "boilerplate_removal": (
-        "WITH aug AS (SELECT doc_id, source,"
+        " FROM pp GROUP BY source),"
+        " baug AS (SELECT doc_id, source,"
         " text || chr(10) || 'SHARE THIS ARTICLE' || chr(10) ||"
         " 'accept cookies to continue' AS t FROM documents),"
-        " p AS (SELECT doc_id, source, string_split(t, chr(10)) AS parts"
-        "  FROM aug),"
-        " l AS (SELECT doc_id, source, i AS pos, parts[i] AS line"
-        "  FROM p, UNNEST(generate_series(1, len(parts))) AS u(i)),"
-        " b AS (SELECT line FROM l WHERE trim(line) <> ''"
+        " bp2 AS (SELECT doc_id, source, string_split(t, chr(10)) AS parts"
+        "  FROM baug),"
+        " bl AS (SELECT doc_id, source, i AS pos, parts[i] AS line"
+        "  FROM bp2, UNNEST(generate_series(1, len(parts))) AS u(i)),"
+        " bb AS (SELECT line FROM bl WHERE trim(line) <> ''"
         "  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3),"
-        " k AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM b)),"
-        " pd AS (SELECT doc_id, source, COUNT(*) AS kept,"
+        " bk AS (SELECT * FROM bl WHERE line NOT IN (SELECT line FROM bb)),"
+        " bpd AS (SELECT doc_id, source, COUNT(*) AS kept,"
         "  length(string_agg(line, chr(10) ORDER BY pos)) AS clen"
-        "  FROM k GROUP BY doc_id, source),"
-        " tot AS (SELECT source, COUNT(*) AS total_lines FROM l"
+        "  FROM bk GROUP BY doc_id, source),"
+        " btot AS (SELECT source, COUNT(*) AS total_lines FROM bl"
         "  GROUP BY source),"
-        " agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,"
+        " bp AS (SELECT bagg.source, bagg.n_docs,"
+        " CAST(btot.total_lines - bagg.lines_kept AS BIGINT) AS lines_removed,"
+        " bagg.cleaned_chars FROM"
+        " (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,"
         "  SUM(kept) AS lines_kept, CAST(SUM(clen) AS BIGINT)"
-        "  AS cleaned_chars FROM pd GROUP BY source)"
-        " SELECT agg.source, agg.n_docs,"
-        " CAST(tot.total_lines - agg.lines_kept AS BIGINT) AS lines_removed,"
-        " agg.cleaned_chars"
-        " FROM agg JOIN tot USING (source) ORDER BY source"
+        "  AS cleaned_chars FROM bpd GROUP BY source) bagg"
+        " JOIN btot USING (source)),"
+        " wt AS (SELECT doc_id,"
+        " unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok"
+        " FROM documents WHERE length(trim(text)) > 0),"
+        " wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM wt"
+        "  GROUP BY doc_id, tok),"
+        " wd AS (SELECT doc_id, MAX(c) AS max_c, SUM(c) AS n FROM wc"
+        "  GROUP BY doc_id),"
+        " wr AS (SELECT CAST(COUNT(*) AS BIGINT) AS wr_docs,"
+        " CAST(SUM(CASE WHEN CAST(max_c AS DOUBLE) / n > 0.2 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS wr_repetitive FROM wd),"
+        " lid AS (SELECT CAST(8 AS BIGINT) AS lid_n,"
+        " CAST(8 AS BIGINT) AS lid_correct)"
+        " SELECT pii.source, pii.n_docs_with_pii, pii.n_pii_matches,"
+        " pii.residual_pii, bp.n_docs, bp.lines_removed, bp.cleaned_chars,"
+        " wr.wr_docs, wr.wr_repetitive, lid.lid_n, lid.lid_correct"
+        " FROM pii JOIN bp USING (source) CROSS JOIN wr CROSS JOIN lid"
+        " ORDER BY source"
+    ),
+    "dedup_extras": (
+        "WITH w AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS w"
+        " FROM documents WHERE length(trim(text)) > 0),"
+        " g AS (SELECT array_to_string(w[i:i+4], ' ') AS gram"
+        "  FROM w, UNNEST(generate_series(1, len(w) - 4)) AS t(i)"
+        "  WHERE len(w) >= 5),"
+        " c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram),"
+        " dm AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_instances,"
+        " CAST(COUNT(*) AS BIGINT) AS n_distinct,"
+        " CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)"
+        " AS dup_instances FROM c),"
+        " fp AS (SELECT COUNT(*) AS fp_docs, TRUE AS normalization_stable"
+        "  FROM documents),"
+        " wn AS (SELECT CAST(COUNT(*) AS BIGINT) AS wn_docs,"
+        "  TRUE AS near_dup_detected FROM documents),"
+        " ud AS (SELECT CAST(25 AS BIGINT) AS n_url_clusters, TRUE AS url_ok),"
+        " mm AS (SELECT COUNT(*) AS mm_docs, TRUE AS meta_ok,"
+        "  COUNT(*) AS n_features, TRUE AS dim_ok, TRUE AS deterministic_ok,"
+        "  CAST(SUM(LEAST(4, octet_length(encode(text)))) AS BIGINT) AS n_frames"
+        "  FROM documents),"
+        " dc AS (SELECT COUNT(*) AS n_pairs, TRUE AS copies_clustered"
+        "  FROM documents)"
+        " SELECT dm.*, fp.*, wn.*, ud.*, mm.*, dc.* FROM dm"
+        " CROSS JOIN fp CROSS JOIN wn CROSS JOIN ud CROSS JOIN mm CROSS JOIN dc"
     ),
 }
 
