@@ -381,24 +381,30 @@ def streaming_topk(
     )
 
 
-def streaming_windowed_tdigest(
+def _streaming_windowed_sketch(
     stream_df: DataFrame,
     ts_col: str,
-    value_col: str,
-    window_duration: str = "1 hour",
-    keys: Sequence[str] = (),
-    compression: int = 100,
-    watermark_delay: str = "2 hours",
-    digest_col: str = "digest",
+    window_duration: str,
+    keys: Sequence[str],
+    watermark_delay: str,
+    tail_fields: list,
+    load,
+    fold,
+    result,
 ) -> DataFrame:
-    """Tumbling event-time windowed digests with late-data handling.
+    """Shared tumbling event-time window plumbing for every windowed
+    streaming sketch (t-digest, HLL, ...): one sketch per
+    (keys..., window_start) in operator state, watermark-bounded late
+    data, and event-time-timeout eviction of closed windows — so state
+    size is O(active windows × groups), not stream length OR key-space
+    size (the unwindowed ``streaming_*`` forms never expire state and
+    are only suitable for bounded key spaces).
 
-    Each (keys..., window_start) holds one digest in operator state;
-    the watermark bounds how late a row may arrive, and state for
-    windows older than the watermark is evicted via event-time timeout
-    — so state size is O(active windows × groups), not stream length.
-    Emits (keys..., window_start, digest, count) updates per batch.
-    """
+    ``load(blob | None) -> sketch`` builds/restores the per-window
+    sketch; ``fold(sketch, pdf) -> bool`` folds one pandas batch in and
+    reports whether it contributed data; ``result(sketch) ->
+    (state_blob, {tail column -> value})`` serializes state and the
+    emitted tail columns (``tail_fields``)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import TimestampType
 
@@ -409,13 +415,10 @@ def streaming_windowed_tdigest(
     key_fields = [f for f in stream_df.schema.fields if f.name in keys]
     out_schema = StructType(
         key_fields
-        + [
-            StructField("window_start", TimestampType(), False),
-            StructField(digest_col, BinaryType(), True),
-            StructField("count", LongType(), False),
-        ]
+        + [StructField("window_start", TimestampType(), False)]
+        + tail_fields
     )
-    state_schema = StructType([StructField("digest", BinaryType(), True)])
+    state_schema = StructType([StructField("sketch", BinaryType(), True)])
     group_cols = [*keys, "window_start"]
     window_ms = int(pd.Timedelta(window_duration).total_seconds() * 1000)
     # applyInPandasWithState delivers TimestampType keys as NAIVE wall
@@ -435,18 +438,19 @@ def streaming_windowed_tdigest(
             return
         if state.exists:
             (blob,) = state.get
-            d = TDigest.from_bytes(bytes(blob))
+            s = load(bytes(blob))
         else:
-            d = TDigest(compression)
+            s = load(None)
+        saw = False
         for pdf in batches:
-            d.add_values(pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
-        if d.count > 0:
-            blob = d.to_bytes()
+            saw = fold(s, pdf) or saw
+        if saw or state.exists:
+            blob, tail = result(s)
             state.update((blob,))
             # evict only once the watermark passes the WINDOW END — a
             # watermark-relative timeout would drop a still-open window
             # that merely went idle for one micro-batch, silently
-            # splitting its digest.  (Rows for this window are admitted
+            # splitting its sketch.  (Rows for this window are admitted
             # exactly while watermark < window_end, so that is the
             # earliest safe eviction point.)
             window_start = key[len(keys)]
@@ -457,7 +461,7 @@ def streaming_windowed_tdigest(
                 # maps to two instants; take the LATER one so the
                 # timeout can only fire late, never early — evicting
                 # before the watermark passes window_end would split a
-                # still-open window's digest
+                # still-open window's sketch
                 t0 = window_start.replace(tzinfo=session_tzinfo, fold=0)
                 t1 = window_start.replace(tzinfo=session_tzinfo, fold=1)
                 epoch = max(t0.timestamp(), t1.timestamp())
@@ -470,8 +474,7 @@ def streaming_windowed_tdigest(
             yield pd.DataFrame(
                 {
                     **{k: [kv] for k, kv in zip(group_cols, key)},
-                    digest_col: [blob],
-                    "count": [d.count],
+                    **{name: [v] for name, v in tail.items()},
                 }
             )
 
@@ -481,6 +484,106 @@ def streaming_windowed_tdigest(
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def streaming_windowed_tdigest(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_duration: str = "1 hour",
+    keys: Sequence[str] = (),
+    compression: int = 100,
+    watermark_delay: str = "2 hours",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Tumbling event-time windowed digests with late-data handling
+    (shared plumbing: ``_streaming_windowed_sketch``).  Emits
+    (keys..., window_start, digest, count) updates per batch."""
+
+    def load(blob):
+        return TDigest.from_bytes(blob) if blob is not None else TDigest(compression)
+
+    def fold(d, pdf):
+        before = d.count
+        d.add_values(pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
+        return d.count > before
+
+    def result(d):
+        blob = d.to_bytes()
+        return blob, {digest_col: blob, "count": d.count}
+
+    return _streaming_windowed_sketch(
+        stream_df,
+        ts_col,
+        window_duration,
+        keys,
+        watermark_delay,
+        [
+            StructField(digest_col, BinaryType(), True),
+            StructField("count", LongType(), False),
+        ],
+        load,
+        fold,
+        result,
+    )
+
+
+def streaming_windowed_hll(
+    stream_df: DataFrame,
+    ts_col: str,
+    hash_col: str,
+    window_duration: str = "1 hour",
+    keys: Sequence[str] = (),
+    p: int = 14,
+    watermark_delay: str = "2 hours",
+    result_col: str = "hll",
+) -> DataFrame:
+    """Tumbling event-time windowed HLL distinct counts (e.g. unique
+    URLs per source per hour in a crawl stream) — the state-EXPIRING
+    form of ``streaming_hll_distinct``: per-window sketches are evicted
+    once the watermark passes the window end, so an unbounded key/time
+    space cannot grow state without bound.  ``hash_col`` must be a
+    NON-NULL int64 hash column (``xxhash64(col)`` upstream, same family
+    as the batch engine, so emitted sketches merge with batch-built
+    ones).  Emits (keys..., window_start, hll binary, estimate long)."""
+    from tdigest_spark.kernel.hll import HLL
+
+    def load(blob):
+        return HLL.from_bytes(blob) if blob is not None else HLL(p)
+
+    def fold(h, pdf):
+        col = pdf[hash_col]
+        if col.empty:
+            return False
+        if col.dtype != np.int64:
+            # a NULL in the batch coerces the series to float64,
+            # rounding 63-bit hashes before this code runs
+            raise ValueError(
+                "streaming_windowed_hll: hash_col must be a non-nullable "
+                "int64 hash (mask NULL inputs to a sentinel or filter "
+                "them upstream)"
+            )
+        h.add_hashes(col.to_numpy(dtype=np.int64))
+        return True
+
+    def result(h):
+        blob = h.to_bytes()
+        return blob, {result_col: blob, "estimate": int(h.cardinality())}
+
+    return _streaming_windowed_sketch(
+        stream_df,
+        ts_col,
+        window_duration,
+        keys,
+        watermark_delay,
+        [
+            StructField(result_col, BinaryType(), True),
+            StructField("estimate", LongType(), False),
+        ],
+        load,
+        fold,
+        result,
     )
 
 

@@ -361,6 +361,42 @@ def test_winnow_batch_matches_reference():
         assert got == want, (k, w)
 
 
+def test_winnow_spark_path_non_ascii(spark):
+    """The production path lowercases JVM-side (F.lower) while the
+    documented per-doc reference lowercases with Python str.lower() —
+    drive the REAL Spark column path on case-mapping hazard samples
+    (Turkish İ, Greek final sigma, ß/ẞ, digraphs, fullwidth, ligatures)
+    and assert (a) both case mappers agree on these inputs and (b) the
+    Spark fingerprints equal the per-doc reference on the JVM-lowered
+    text, so production can never silently diverge from the documented
+    reference on non-ASCII content."""
+    samples = [
+        "İstanbul ŞEHİR Straße GROSSE ẞ ß pages",
+        "ΑΒΓΔ ΣΙΓΜΑΣ ΟΔΟΣ τέλος και άλλα κείμενα εδώ",
+        "Ｆｕｌｌｗｉｄｔｈ ＴＥＸＴ ｍｉｘｅｄ ascii tail",
+        "РУССКИЙ текст ЁЛКА и ещё немного слов тут",
+        "ĲSSELMEER ǅungla ǈubljana digraph corner cases",
+        "ＡﬁﬂﬅＺ ﬃ ligatures with some padding words after",
+    ]
+    df = spark.createDataFrame(list(enumerate(samples)), ["id", "t"])
+    out = {
+        r["id"]: (r["l"], list(r["w"]))
+        for r in df.select(
+            "id",
+            F.lower("t").alias("l"),
+            text.winnow_fingerprints(F.col("t")).alias("w"),
+        ).collect()
+    }
+    for i, s in enumerate(samples):
+        jvm_lower, got = out[i]
+        # one case-mapping source: JVM and Python lower must agree here
+        assert jvm_lower == s.lower(), (i, jvm_lower, s.lower())
+        # _winnow_one re-lowers internally; lowercased text is a fixed
+        # point of both mappers, so this is the per-doc reference on
+        # exactly the bytes the UDF saw
+        assert got == text._winnow_one(jvm_lower, 8, 16), i
+
+
 # ----------------------------------------------------------------------
 # multimodal plumbing
 # ----------------------------------------------------------------------

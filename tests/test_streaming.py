@@ -452,3 +452,85 @@ def test_streaming_topk_eviction_and_guarantees(spark, tmp_path_factory):
     for item, est, err in top:
         assert true[item] <= est <= true[item] + err
         assert err <= bound
+
+
+def test_streaming_windowed_hll_state_expires(spark, tmp_path_factory):
+    """Windowed streaming HLL (shared _streaming_windowed_sketch
+    plumbing): per-window distinct estimates land the HLL error band,
+    and — the point of the windowed form — state for windows idle past
+    the watermark horizon is FREED: the state store's numRowsTotal must
+    DROP once the watermark passes their window end.  The unwindowed
+    streaming_hll_distinct never expires state (NoTimeout), so this is
+    the unbounded-key-space deployment shape."""
+    import datetime as _dt
+    import json
+    import time
+
+    import pandas as pd
+
+    from tdigest_spark.streaming.digest_stream import streaming_windowed_hll
+
+    d = tmp_path_factory.mktemp("whll_src")
+
+    def write(day, ids):
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([f"2024-01-{day:02d} 12:00:00"] * len(ids)),
+                "uid": pd.array(ids, dtype="int64"),
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(d))
+        time.sleep(0.2)  # distinct mtimes -> deterministic batch order
+
+    # two early windows, then two batches far in the future: batch 3
+    # carries day-20 rows (watermark still day-2-based while it runs),
+    # batch 4's watermark (day 20 minus delay) is past BOTH early
+    # window ends -> their state must be evicted during batch 4
+    write(1, list(range(100)) + list(range(50, 150)))  # day 1: 150 distinct
+    write(2, list(range(200)))                         # day 2: 200 distinct
+    write(20, list(range(10)))
+    write(20, list(range(5, 15)))                      # day 20: 15 distinct
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    hashed = stream.select("ts", F.xxhash64("uid").alias("h"))
+    out = streaming_windowed_hll(
+        hashed, "ts", "h", window_duration="1 day", watermark_delay="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("whll")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("whll_ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    totals = [
+        json.loads(p.json)["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if json.loads(p.json)["stateOperators"]
+    ]
+    # eviction cascade (watermark advances one batch behind the data):
+    # day-1 evicted while day-2 + day-20 are live, then day-2 evicted —
+    # only the still-open day-20 window may hold state at the end
+    assert max(totals) >= 2, totals
+    assert totals[-1] == 1 < max(totals), totals
+
+    rows = spark.sql("SELECT * FROM whll").collect()
+    final = {}
+    for r in rows:
+        k = (
+            r["window_start"]
+            .astimezone(_dt.timezone.utc)
+            .strftime("%Y-%m-%d")
+        )
+        final[k] = max(final.get(k, 0), r["estimate"])
+    want = {"2024-01-01": 150, "2024-01-02": 200, "2024-01-20": 15}
+    assert set(final) == set(want)
+    for day, exact in want.items():
+        assert abs(final[day] - exact) <= max(3, 0.05 * exact), (day, final)
