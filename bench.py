@@ -21,6 +21,25 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _settle(max_wait: float = 150.0) -> float:
+    """Wait (bounded) for the box's 1-minute load average to drop below
+    ~1/4 of the bench cores before a latency-sensitive measurement.
+
+    The driver records bench.py right after its own pytest + oracle
+    passes, when the box still carries their load tail — measured
+    uniformly ~14-25% slower README-pair numbers in that state
+    (BENCH.md, rounds 3-4).  Settling costs bounded wall clock and
+    removes the see-saw; the observed load is recorded in the output
+    so a still-hot box is visible in the number's provenance."""
+    target = max(4.0, 0.25 * CPUS)
+    deadline = time.time() + max_wait
+    load = os.getloadavg()[0]
+    while load > target and time.time() < deadline:
+        time.sleep(5.0)
+        load = os.getloadavg()[0]
+    return load
+
+
 def _run(fn):
     """Run one query action, retrying ONCE on a transient Spark error.
 
@@ -207,6 +226,9 @@ def main() -> None:
     try:
         import subprocess
 
+        # the ~1 s subprocess jobs are the bench's most load-sensitive
+        # numbers — let the pytest/oracle load tail drain first
+        readme["load1_at_start"] = round(_settle(), 1)
         here = os.path.dirname(os.path.abspath(__file__))
         for cores in (1, 4):
             # 5 reps: the ~1 s local[4] job sits near the task-dispatch

@@ -535,8 +535,11 @@ def remove_duplicate_ngrams(
         .agg(F.collect_list("gpos").alias("__starts__"))
         # two consumers (the cut join and the untouched anti-join) —
         # persist so the gram shuffle+window runs once; tiny: one row
-        # per AFFECTED doc.  Spark's ContextCleaner drops the cache
-        # when the frame is collected.
+        # per AFFECTED doc.  The cache lives until Spark's
+        # ContextCleaner sees the underlying RDD garbage-collected on
+        # the driver (i.e. when callers drop the returned DataFrame) —
+        # long-lived sessions calling this repeatedly should trigger
+        # collection or expect transient storage-memory use.
         .persist()
     )
 
