@@ -1464,6 +1464,55 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-windowed streaming HLL — the state-EXPIRING distinct
+    counter (per-window sketches evicted once the watermark passes the
+    window end; eviction itself is asserted in
+    tests/test_streaming.py::test_streaming_windowed_hll_state_expires
+    via the state store's numRowsTotal): per-day distinct event values
+    across 3 replayed micro-batches must land the HLL p=14 band vs the
+    exact per-day distinct count."""
+    from tdigest_spark.streaming.digest_stream import streaming_windowed_hll
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = (
+            _read(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+            .select("event_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+        )
+        stream = _replay_as_stream(spark, ev, "event_id", "suite_whll_src_")
+        hashed = stream.select("ts", F.xxhash64("value").alias("h"))
+        out = streaming_windowed_hll(
+            hashed, "ts", "h", window_duration="1 day", watermark_delay="720 hours"
+        )
+        final: dict = {}
+        for r in _run_stream_to_memory(spark, out, "suite_whll"):
+            k = r["window_start"]
+            # estimates only grow within a window; keep the last/max
+            final[k] = max(final.get(k, 0), r["estimate"])
+        est = spark.createDataFrame(
+            [(k, int(v)) for k, v in sorted(final.items())],
+            ["day_ts", "nd_stream"],
+        )
+        exact = (
+            ev.select(F.date_trunc("day", F.col("ts")).alias("day_ts"), "value")
+            .groupBy("day_ts")
+            .agg(F.countDistinct("value").alias("nd_exact"))
+        )
+        checked = exact.join(F.broadcast(est), "day_ts").select(
+            F.date_format("day_ts", "yyyy-MM-dd").alias("day"),
+            "nd_exact",
+            (
+                F.abs(F.col("nd_stream") / F.col("nd_exact") - 1.0) < 0.05
+            ).alias("ok"),
+        )
+        return checked.orderBy("day").localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def q_streaming_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming order statistics: a per-type KLL sketch maintained
     across 3 replayed micro-batches.  The final sketch's item count
@@ -2219,6 +2268,7 @@ TDIGEST_QUERIES = {
     "streaming_hll": q_streaming_hll,
     "streaming_countmin": q_streaming_countmin,
     "streaming_kll": q_streaming_kll,
+    "streaming_windowed_hll": q_streaming_windowed_hll,
     "checkpoint_resume": q_checkpoint_resume,
     "streaming_topk": q_streaming_topk,
     "streaming_dedup": q_streaming_dedup,
@@ -2351,6 +2401,12 @@ TDIGEST_ORACLES = {
         " COUNT(CASE WHEN NOT isnan(value) THEN 1 END) AS n, TRUE AS ok"
         " FROM events WHERE event_type IS NOT NULL GROUP BY event_type"
         " ORDER BY event_type"
+    ),
+    "streaming_windowed_hll": (
+        "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,"
+        " COUNT(DISTINCT value) AS nd_exact, TRUE AS ok FROM events"
+        " WHERE value IS NOT NULL AND NOT isnan(value)"
+        " GROUP BY 1 ORDER BY 1"
     ),
     "checkpoint_resume": (
         "SELECT lang, COUNT(*) AS n, TRUE AS ok FROM documents "

@@ -139,11 +139,25 @@ def test_ivf_bucketed_index_prunes_and_matches(spark):
             spark, "ivf_idx_test", "vec_id", "embedding", queries, cents,
             k=5, n_probe=2,
         )
-        want = sim.ivf_topk(
-            corpus, "vec_id", "embedding", queries, cents, k=5, n_probe=2
-        )
         g = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
-        w = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in want.collect()}
+        # reference: true per-list IVF semantics — each query's top-k
+        # over ONLY its own probed lists (ivf_topk's union-scan form
+        # can legitimately return neighbors from lists the query never
+        # probed, so it is not the oracle here)
+        assigned = sim.ivf_assign(corpus, "vec_id", "embedding", cents)
+        w = {}
+        for qi, (qid, qvec) in enumerate(queries):
+            own = [int(v) for v in probes[qi]]
+            restricted = (
+                corpus.join(assigned, "vec_id")
+                .filter(F.col("list_id").isin(own))
+                .select("vec_id", "embedding")
+            )
+            per = sim.cosine_topk(
+                restricted, "vec_id", "embedding", [(qid, qvec)], k=5
+            )
+            for r in per.collect():
+                w[(r["query_id"], r["rank"])] = r["neighbor_id"]
         assert g == w and len(g) == 5 * len(queries)
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
