@@ -587,6 +587,161 @@ def streaming_windowed_hll(
     )
 
 
+def streaming_windowed_countmin(
+    stream_df: DataFrame,
+    ts_col: str,
+    hash_col: str,
+    window_duration: str = "1 hour",
+    keys: Sequence[str] = (),
+    width: int = 2048,
+    depth: int = 5,
+    watermark_delay: str = "2 hours",
+    result_col: str = "countmin",
+) -> DataFrame:
+    """Tumbling event-time windowed count-min frequency sketches — the
+    state-EXPIRING form of ``streaming_countmin`` (shared plumbing:
+    ``_streaming_windowed_sketch``), for per-window heavy-hitter
+    estimates over an unbounded key/time space.  Same non-null int64
+    ``hash_col`` contract and wire format as the batch engine, so a
+    window's sketch merges with batch-built ones.  Emits
+    (keys..., window_start, countmin binary, total long)."""
+    from tdigest_spark.kernel.countmin import CountMin
+
+    def load(blob):
+        return CountMin.from_bytes(blob) if blob is not None else CountMin(width, depth)
+
+    def fold(cm, pdf):
+        col = pdf[hash_col]
+        if col.empty:
+            return False
+        if col.dtype != np.int64:
+            # a NULL in the batch coerces the series to float64,
+            # rounding 63-bit hashes before this code runs
+            raise ValueError(
+                "streaming_windowed_countmin: hash_col must be a "
+                "non-nullable int64 hash (mask NULL inputs to a "
+                "sentinel or filter them upstream)"
+            )
+        cm.add_hashes(col.to_numpy(dtype=np.int64))
+        return True
+
+    def result(cm):
+        blob = cm.to_bytes()
+        return blob, {result_col: blob, "total": int(cm.total)}
+
+    return _streaming_windowed_sketch(
+        stream_df,
+        ts_col,
+        window_duration,
+        keys,
+        watermark_delay,
+        [
+            StructField(result_col, BinaryType(), True),
+            StructField("total", LongType(), False),
+        ],
+        load,
+        fold,
+        result,
+    )
+
+
+def streaming_windowed_kll(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_duration: str = "1 hour",
+    keys: Sequence[str] = (),
+    k: int = 200,
+    watermark_delay: str = "2 hours",
+    result_col: str = "kll",
+) -> DataFrame:
+    """Tumbling event-time windowed KLL quantile sketches — the
+    state-EXPIRING form of ``streaming_kll`` (shared plumbing:
+    ``_streaming_windowed_sketch``).  NaN/NULL values are dropped like
+    the batch engine; per-window sketches share the batch ``kll_sketch``
+    wire format.  Emits (keys..., window_start, kll binary, n long)."""
+    from tdigest_spark.kernel.kll import KLL
+
+    def load(blob):
+        return KLL.from_bytes(blob) if blob is not None else KLL(k)
+
+    def fold(s, pdf):
+        vals = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        vals = vals[~np.isnan(vals)]
+        if not vals.size:
+            return False
+        s.add_values(vals)
+        return True
+
+    def result(s):
+        blob = s.to_bytes()
+        return blob, {result_col: blob, "n": int(s.n)}
+
+    return _streaming_windowed_sketch(
+        stream_df,
+        ts_col,
+        window_duration,
+        keys,
+        watermark_delay,
+        [
+            StructField(result_col, BinaryType(), True),
+            StructField("n", LongType(), False),
+        ],
+        load,
+        fold,
+        result,
+    )
+
+
+def streaming_windowed_topk(
+    stream_df: DataFrame,
+    ts_col: str,
+    item_col: str,
+    window_duration: str = "1 hour",
+    keys: Sequence[str] = (),
+    m: int = 256,
+    watermark_delay: str = "2 hours",
+    result_col: str = "topk",
+) -> DataFrame:
+    """Tumbling event-time windowed SpaceSaving top-k — the
+    state-EXPIRING form of ``streaming_topk`` (shared plumbing:
+    ``_streaming_windowed_sketch``): per-window heavy hitters WITH
+    identities, exact while distinct items per window stay ≤ m.  NULL
+    items are dropped like the batch engine; per-window sketches share
+    the batch ``topk_sketch`` wire format.  Emits
+    (keys..., window_start, topk binary, n long)."""
+    from tdigest_spark.kernel.topk import SpaceSaving
+
+    def load(blob):
+        return SpaceSaving.from_bytes(blob) if blob is not None else SpaceSaving(m)
+
+    def fold(s, pdf):
+        items = pdf[item_col].dropna()
+        if not len(items):
+            return False
+        s.add_items(items.tolist())
+        return True
+
+    def result(s):
+        blob = s.to_bytes()
+        return blob, {result_col: blob, "n": int(s.n)}
+
+    return _streaming_windowed_sketch(
+        stream_df,
+        ts_col,
+        window_duration,
+        keys,
+        watermark_delay,
+        [
+            StructField(result_col, BinaryType(), True),
+            StructField("n", LongType(), False),
+        ],
+        load,
+        fold,
+        result,
+    )
+
+
 def write_batch_digests(
     batch_df: DataFrame,
     batch_id: int,

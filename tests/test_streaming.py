@@ -534,3 +534,139 @@ def test_streaming_windowed_hll_state_expires(spark, tmp_path_factory):
     assert set(final) == set(want)
     for day, exact in want.items():
         assert abs(final[day] - exact) <= max(3, 0.05 * exact), (day, final)
+
+
+def test_streaming_windowed_companion_sketches(spark, tmp_path_factory):
+    """The three remaining windowed companion forms (count-min, KLL,
+    SpaceSaving top-k) on the shared _streaming_windowed_sketch
+    plumbing: per-window final sketches match exact per-window answers,
+    and the count-min window sketch is BYTE-identical to a batch build
+    over the same rows (the table is an order-independent sum).  State
+    expiry itself is proven once on the shared plumbing
+    (test_streaming_windowed_hll_state_expires)."""
+    import datetime as _dt
+    import time
+
+    import pandas as pd
+
+    from tdigest_spark.kernel.countmin import CountMin
+    from tdigest_spark.kernel.kll import KLL
+    from tdigest_spark.kernel.topk import SpaceSaving
+    from tdigest_spark.streaming.digest_stream import (
+        streaming_windowed_countmin,
+        streaming_windowed_kll,
+        streaming_windowed_topk,
+    )
+
+    d = tmp_path_factory.mktemp("wcomp_src")
+    rng = np.random.RandomState(11)
+    chunks = []
+    for day, nfile in ((1, 2), (2, 1)):  # day 1 split across two batches
+        for _ in range(nfile):
+            pdf = pd.DataFrame(
+                {
+                    "ts": pd.to_datetime(f"2024-03-{day:02d} 08:00:00")
+                    + pd.to_timedelta(rng.randint(0, 3600, 3000), unit="s"),
+                    "item": [f"it{j}" for j in rng.zipf(1.6, 3000) % 40],
+                    "v": rng.rand(3000) * 100.0,
+                }
+            )
+            chunks.append(pdf)
+            sdf = spark.createDataFrame(pdf).withColumn(
+                "h", F.xxhash64("item")
+            )
+            sdf.coalesce(1).write.mode("append").parquet(str(d))
+            time.sleep(0.2)  # distinct mtimes -> deterministic batch order
+    all_pdf = pd.concat(chunks, ignore_index=True)
+    # recover the exact Spark-side hashes so the exact side shares them
+    hmap = {
+        r["item"]: r["h"]
+        for r in spark.read.parquet(str(d)).select("item", "h").distinct().collect()
+    }
+    all_pdf["h"] = all_pdf["item"].map(hmap).astype(np.int64)
+    all_pdf["day"] = all_pdf["ts"].dt.floor("d")
+
+    schema = spark.read.parquet(str(d)).schema
+
+    def run(make, name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        q = (
+            make(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path_factory.mktemp(name)))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        final = {}
+        for r in spark.sql(f"SELECT * FROM {name}").collect():
+            k = r["window_start"].astimezone(_dt.timezone.utc).strftime("%Y-%m-%d")
+            prev = final.get(k)
+            if prev is None or r[tot_col] > prev[tot_col]:
+                final[k] = r
+        return final
+
+    grouped = {
+        day.strftime("%Y-%m-%d"): sub for day, sub in all_pdf.groupby("day")
+    }
+    assert len(grouped) == 2
+
+    # --- count-min: totals exact, estimates within bound, byte-parity
+    tot_col = "total"
+    fin = run(
+        lambda s: streaming_windowed_countmin(
+            s, "ts", "h", window_duration="1 day", watermark_delay="1 hour"
+        ),
+        "wcomp_cm",
+    )
+    assert set(fin) == set(grouped)
+    for day, sub in grouped.items():
+        cm = CountMin.from_bytes(bytes(fin[day]["countmin"]))
+        assert cm.total == len(sub) == fin[day]["total"]
+        truth = sub.groupby("h").size()
+        est = cm.estimate_hashes(truth.index.to_numpy(dtype=np.int64))
+        assert (est >= truth.to_numpy()).all()
+        assert (est <= truth.to_numpy() + cm.epsilon * cm.total + 1).all()
+        batch = CountMin()
+        batch.add_hashes(sub["h"].to_numpy(dtype=np.int64))
+        assert batch.to_bytes() == cm.to_bytes()  # order-independent sum
+
+    # --- KLL: n exact, median within rank error
+    tot_col = "n"
+    fin = run(
+        lambda s: streaming_windowed_kll(
+            s, "ts", "v", window_duration="1 day", watermark_delay="1 hour"
+        ),
+        "wcomp_kll",
+    )
+    assert set(fin) == set(grouped)
+    for day, sub in grouped.items():
+        s = KLL.from_bytes(bytes(fin[day]["kll"]))
+        assert s.n == len(sub) == fin[day]["n"]
+        xs = np.sort(sub["v"].to_numpy())
+        rank = np.searchsorted(xs, s.quantile(0.5), side="right") / len(xs)
+        assert abs(rank - 0.5) < 0.05
+
+    # --- top-k: distinct items (40) < m=64 -> counts are EXACT
+    fin = run(
+        lambda s: streaming_windowed_topk(
+            s, "ts", "item", window_duration="1 day", m=64,
+            watermark_delay="1 hour"
+        ),
+        "wcomp_topk",
+    )
+    assert set(fin) == set(grouped)
+    for day, sub in grouped.items():
+        s = SpaceSaving.from_bytes(bytes(fin[day]["topk"]))
+        assert s.n == len(sub) == fin[day]["n"]
+        truth = sub.groupby("item").size().sort_values(ascending=False)
+        for item, est, err in s.top(5):
+            assert err == 0
+            assert est == int(truth[item])
+        assert {t[0] for t in s.top(3)} == set(truth.index[:3])
