@@ -43,8 +43,31 @@ N_QUERIES = 100
 K = 10
 
 
+def _counter_normals(counter: np.ndarray) -> np.ndarray:
+    """Counter-based standard normals (SplitMix64 bit-mix -> uniforms ->
+    Box-Muller): a pure function of the counter value, so generation is
+    byte-deterministic regardless of partitioning AND Arrow batch
+    boundaries (a sequential RNG stream seeded per batch is not — the
+    noise then depends on where maxRecordsPerBatch slices the rows)."""
+
+    def mix(x):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    c = counter.astype(np.uint64)
+    gamma = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        a = mix((c * np.uint64(2) + np.uint64(1)) * gamma)
+        b = mix((c * np.uint64(2) + np.uint64(2)) * gamma)
+    u1 = (a >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    u2 = (b >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    u1 = np.maximum(u1, 1e-300)  # Box-Muller pole at u1=0
+    return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+
+
 def ensure_corpus(spark, n_vecs: int) -> str:
-    path = f"{CACHE}/vecs_{n_vecs}"
+    path = f"{CACHE}/vecs_{n_vecs}_v2"
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     import pandas as pd
@@ -57,10 +80,9 @@ def ensure_corpus(spark, n_vecs: int) -> str:
         C = bc.value
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            # per-batch RNG seeded by the first id: deterministic
-            # regardless of partitioning
-            r = np.random.RandomState(int(ids[0]) % (1 << 31))
-            vecs = C[ids % N_CENTERS] + r.randn(len(ids), DIM)
+            # per-row counter noise: vec i is a pure function of i
+            counter = ids[:, None] * np.int64(DIM) + np.arange(DIM)
+            vecs = C[ids % N_CENTERS] + _counter_normals(counter)
             yield pd.DataFrame(
                 {"vec_id": ids, "embedding": list(vecs.astype(np.float64))}
             )

@@ -87,8 +87,18 @@ def cosine_topk(
             # the placeholder semantics the final mask depends on
             new_sims = np.empty((len(qids_), k))
             new_ids = np.empty_like(new_sims, dtype=np.int64)
+            # vectorized argpartition finds each row's k-th sim; only
+            # the entries at-or-above it (top-k plus boundary ties) need
+            # the O(k log k) deterministic (sim desc, id asc) lexsort —
+            # a full-width lexsort here costs O(w log w) per query per
+            # batch on the exact-search hot path
+            part = np.argpartition(-all_sims, k - 1, axis=1)[:, :k]
+            kth = np.take_along_axis(all_sims, part, 1).min(axis=1)
             for qi in range(len(qids_)):
-                order = np.lexsort((all_ids[qi], -all_sims[qi]))[:k]
+                cand = np.flatnonzero(all_sims[qi] >= kth[qi])
+                order = cand[
+                    np.lexsort((all_ids[qi, cand], -all_sims[qi, cand]))[:k]
+                ]
                 new_sims[qi] = all_sims[qi, order]
                 new_ids[qi] = all_ids[qi, order]
             best_sims, best_ids = new_sims, new_ids
@@ -367,9 +377,7 @@ def ivf_topk_bucketed(
     buckets, so query-oblivious scoring would do ~0.6× the brute-force
     work per query — measured SLOWER than exact at 1M vectors; the
     grouped form is 5.6× faster than exact, recall@10 = 1.0)."""
-    qids = np.array([q[0] for q in queries], dtype=np.int64)
-    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
-    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    qids, qmat, probes = _query_probes(queries, centroids, n_probe)
     probe_lists = sorted({int(v) for row in probes for v in row})
     # per-list query groups: list_id -> (row indices into qids/qmat)
     by_list = {
@@ -465,6 +473,22 @@ def ivf_topk_bucketed(
     return partials.groupBy("query_id").applyInPandas(global_merge, result_schema)
 
 
+def _query_probes(
+    queries: list[tuple[int, list[float]]],
+    centroids: np.ndarray,
+    n_probe: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(query ids, normalized query matrix, per-query ``n_probe``
+    nearest inverted lists) — the ONE probe-selection computation
+    behind ``ivf_topk_bucketed`` and ``ivf_probe_lists``, so a plan
+    assertion on the probed buckets always checks the same scan the
+    search executes."""
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    return qids, qmat, probes
+
+
 def ivf_probe_lists(
     queries: list[tuple[int, list[float]]],
     centroids: np.ndarray,
@@ -473,9 +497,8 @@ def ivf_probe_lists(
     """The union of every query's ``n_probe`` nearest inverted lists —
     the single source of probe selection for ``ivf_topk`` /
     ``ivf_topk_bucketed`` (and for plan assertions that must check the
-    SAME scan the search runs)."""
-    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
-    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    SAME scan the search runs); delegates to ``_query_probes``."""
+    _, _, probes = _query_probes(queries, centroids, n_probe)
     return sorted({int(v) for row in probes for v in row})
 
 

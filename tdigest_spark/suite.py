@@ -1553,9 +1553,15 @@ def q_streaming_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
             # even though the sketch behaves as documented)
             F.count(F.when(~F.isnan("value"), F.col("value"))).alias("n"),
             F.first("n_stream").alias("n_stream"),
-            F.avg((F.col("value") <= F.col("median")).cast("double")).alias(
-                "rank"
-            ),
+            # rank over non-NaN/non-NULL rows only, same reason: a NaN
+            # compares false against the median and would bias the
+            # measured rank low by the NaN fraction
+            F.avg(
+                F.when(
+                    ~F.isnan("value"),
+                    (F.col("value") <= F.col("median")).cast("double"),
+                )
+            ).alias("rank"),
         )
         .select(
             "event_type",
@@ -1984,9 +1990,19 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             days.join(F.broadcast(est), "day_ts")
             .groupBy("day_ts")
             .agg(
-                F.count("*").alias("n_exact"),
+                # non-NaN/non-NULL only: the digest drops both, so the
+                # exact count must match that semantics, and a NaN row
+                # compares false against p50, biasing the rank low
+                F.count(F.when(~F.isnan("value"), F.col("value"))).alias(
+                    "n_exact"
+                ),
                 F.first("n_stream").alias("n_stream"),
-                F.avg((F.col("value") <= F.col("p50")).cast("double")).alias("rank"),
+                F.avg(
+                    F.when(
+                        ~F.isnan("value"),
+                        (F.col("value") <= F.col("p50")).cast("double"),
+                    )
+                ).alias("rank"),
             )
         )
         return checked.select(
@@ -2024,7 +2040,17 @@ def q_windowed_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").alias("n"),
                 (
                     F.abs(
-                        F.avg((F.col("value") <= F.col("percentile")).cast("double")) - 0.5
+                        # rank over non-NaN rows only (the digest drops
+                        # them; a NaN compares false and biases low)
+                        F.avg(
+                            F.when(
+                                ~F.isnan("value"),
+                                (F.col("value") <= F.col("percentile")).cast(
+                                    "double"
+                                ),
+                            )
+                        )
+                        - 0.5
                     )
                     # rank granularity is 1/n — tiny windows (sf0.001 has
                     # ~25 events/day) can't land closer than ~0.5/n to 0.5
