@@ -1,0 +1,244 @@
+"""Streaming volume + scaling evidence: the applyInPandasWithState
+paths (per-key t-digest state, windowed watermark-evicted HLL) driven
+at millions of events through real micro-batches, at two parallelism
+levels (fresh JVM per level via subprocess, same input — the
+sandbox stand-in for N vs 4N executors per the north rule).
+
+Events are generated PURE-Catalyst and deterministically (key/value/ts
+are closed-form functions of the row id — no RNG, no partition-layout
+dependence), written as 8 parquet files that replay as micro-batches
+(maxFilesPerTrigger=2 -> 4 batches).
+
+Correctness is asserted OUTSIDE the timed window: per-key streamed
+digest counts must equal exact counts, the merged global digest median
+must land the exact rank band, and the windowed HLL per-window
+estimates must be within the p=14 band of exact distincts.
+
+Usage:  python scripts/bench_stream_scale.py [n_events] [cores_hi] [trials]
+        (default 32_000_000 events, levels = cores_hi/4 and cores_hi,
+        3 trials per op per level — min time kept, per-trial steal%
+        recorded; this box's co-tenant steal makes single runs lie)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EVENTS = "/tmp/tdigest_stream/events"
+N_FILES = 8
+N_KEYS = 256
+
+WORKER = r"""
+import json, shutil, sys, tempfile, time
+sys.path.insert(0, %(root)r)
+import numpy as np
+from pyspark.sql import SparkSession, functions as F
+
+cores = int(sys.argv[1])
+spark = (SparkSession.builder.appName(f"stream-scale-{cores}")
+    .master(f"local[{cores}]")
+    .config("spark.sql.shuffle.partitions", "64")
+    .config("spark.sql.adaptive.enabled", "true")
+    # ~550MB files x 2 per micro-batch: the 128MB default split size
+    # gives ~9 scan tasks, capping the map-side partial phase (Python
+    # work in the SCAN stage) at 9-way parallelism no matter the cores
+    .config("spark.sql.files.maxPartitionBytes", "16m")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .config("spark.driver.memory", "8g")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from tdigest_spark.kernel.hll import HLL
+from tdigest_spark.kernel.tdigest import TDigest, merge_all
+from tdigest_spark.spark.session import warm_workers
+from tdigest_spark.streaming.digest_stream import (
+    streaming_tdigest, streaming_windowed_hll,
+)
+
+warm_workers(spark)
+src = %(events)r
+schema = spark.read.parquet(src).schema
+n_total = spark.read.parquet(src).count()  # also warms the page cache
+
+def replay():
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2).parquet(src))
+
+trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+out = {"cores": cores, "events": n_total, "trials": trials}
+
+def read_steal():
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:11]]
+    return vals[7], sum(vals)
+
+def run_op(name, build_out):
+    # Run one streaming op `trials` times (fresh checkpoint + sink per
+    # trial, warm JVM/page cache), recording min time (the repo's
+    # scaling_bench convention under co-tenant steal) + per-trial
+    # steal%% + the last trial's micro-batch durationMs breakdown.
+    times, steals = [], []
+    for t in range(trials):
+        ck = tempfile.mkdtemp(prefix=f"ssc_{name}_")
+        qn = f"{name}_{t}"
+        s0, tot0 = read_steal()
+        t0 = time.time()
+        q = (build_out().writeStream.format("memory").queryName(qn)
+             .outputMode("update").option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(1800), name
+        times.append(round(time.time() - t0, 2))
+        s1, tot1 = read_steal()
+        steals.append(round(100.0 * (s1 - s0) / max(1, tot1 - tot0), 2))
+        shutil.rmtree(ck, ignore_errors=True)
+    best = min(times)
+    prog = [json.loads(p.json) for p in q.recentProgress]
+    dm = [p.get("durationMs", {}) for p in prog
+          if p.get("numInputRows", 0) > 0]
+    out[f"{name}_sec"] = best
+    out[f"{name}_events_per_sec"] = int(n_total / best)
+    out[f"{name}_times"] = times
+    out[f"{name}_steal_pct"] = steals
+    out[f"{name}_batch_ms"] = {
+        k: sum(d.get(k, 0) for d in dm)
+        for k in ("triggerExecution", "addBatch", "getBatch", "walCommit",
+                  "commitOffsets")
+    }
+    return qn
+
+def td_final(qn):
+    final = {}
+    for r in spark.sql(f"SELECT * FROM {qn}").collect():
+        if r["key"] not in final or r["count"] > final[r["key"]]["count"]:
+            final[r["key"]] = {"count": r["count"],
+                               "digest": bytes(r["digest"])}
+    return final
+
+def td_verify(qn, label):
+    final = td_final(qn)
+    assert set(final) == set(exact) and all(
+        final[k]["count"] == exact[k] for k in exact), f"{label} counts"
+    merged = merge_all(
+        [TDigest.from_bytes(v["digest"]) for v in final.values()])
+    med = merged.quantile(0.5)
+    rank = (spark.read.parquet(src).filter(F.col("value") <= med).count()
+            / n_total)
+    assert abs(rank - 0.5) < 0.01, (label, rank)
+    return rank
+
+exact = {r["key"]: r["n"] for r in
+         spark.read.parquet(src).groupBy("key")
+         .agg(F.count("*").alias("n")).collect()}
+
+# --- per-key t-digest state: plain row shuffle vs map-side combine --
+qn = run_op("tdigest", lambda: streaming_tdigest(
+    replay(), keys=["key"], value_col="value", compression=100))
+out["tdigest_median_rank"] = round(td_verify(qn, "row-fold"), 5)
+
+qn = run_op("tdigest_combined", lambda: streaming_tdigest(
+    replay(), keys=["key"], value_col="value", compression=100,
+    combine_partials=True))
+td_verify(qn, "combined")
+
+# --- windowed HLL (watermark-evicted state) -------------------------
+qn = run_op("whll", lambda: streaming_windowed_hll(
+    replay().select("ts", F.xxhash64("uid").alias("h")),
+    "ts", "h", window_duration="6 hours", watermark_delay="30 days"))
+
+# verify (untimed): final per-window estimates within the p=14 band
+fin = {}
+for r in spark.sql(f"SELECT * FROM {qn}").collect():
+    k = r["window_start"]
+    fin[k] = max(fin.get(k, 0), r["estimate"])  # last update wins; max n
+ex = {r["w"]: r["n"] for r in
+      spark.read.parquet(src)
+      .select(F.window("ts", "6 hours")["start"].alias("w"), "uid")
+      .groupBy("w").agg(F.countDistinct("uid").alias("n")).collect()}
+assert set(fin) == set(ex), (len(fin), len(ex))
+for w, n in ex.items():
+    assert abs(fin[w] - n) <= max(10, 0.05 * n), (w, fin[w], n)
+out["whll_windows"] = len(ex)
+
+print(json.dumps(out))
+"""
+
+
+def ensure_events(n_rows: int) -> None:
+    marker = os.path.join(EVENTS, "_SUCCESS")
+    meta = os.path.join(EVENTS, "_N_ROWS")
+    if os.path.exists(marker) and os.path.exists(meta):
+        with open(meta) as f:
+            if int(f.read().strip()) == n_rows:
+                return
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.appName("stream-scale-gen")
+        .master("local[32]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # all closed-form in the row id: deterministic regardless of
+    # partitioning; value is a uniform double derived from a 63-bit
+    # hash, ts spreads the rows over 4 days, uid gives ~1M distincts
+    df = (
+        spark.range(n_rows)
+        .select(
+            (F.col("id") % N_KEYS).cast("int").alias("key"),
+            (
+                F.abs(F.xxhash64(F.col("id"), F.lit(41)))
+                / float((1 << 63) - 1)
+                * 100.0
+            ).alias("value"),
+            (
+                F.to_timestamp(F.lit("2024-05-01 00:00:00"))
+                + F.make_interval(secs=(F.col("id") % (4 * 86400)))
+            ).alias("ts"),
+            (F.col("id") % 1_000_000).alias("uid"),
+        )
+    )
+    df.repartition(N_FILES).write.mode("overwrite").parquet(EVENTS)
+    with open(meta, "w") as f:
+        f.write(str(n_rows))
+    spark.stop()
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
+    hi = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    lo = max(1, hi // 4)
+    ensure_events(n_rows)
+    results = {}
+    for cores in (lo, hi):
+        body = WORKER % {"root": ROOT, "events": EVENTS}
+        proc = subprocess.run(
+            [sys.executable, "-c", body, str(cores), str(trials)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise SystemExit(f"worker at local[{cores}] failed")
+        results[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
+    for op in ("tdigest", "tdigest_combined", "whll"):
+        r_lo, r_hi = results[lo], results[hi]
+        speedup = r_hi[f"{op}_events_per_sec"] / r_lo[f"{op}_events_per_sec"]
+        results[f"{op}_scaling_efficiency_{lo}_{hi}"] = round(
+            speedup / (hi / lo), 3
+        )
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

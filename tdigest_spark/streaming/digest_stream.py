@@ -71,14 +71,29 @@ def streaming_tdigest(
     value_col: str,
     compression: int = 100,
     digest_col: str = "digest",
+    combine_partials: bool = False,
 ) -> DataFrame:
     """Maintain one t-digest per group across micro-batches.
 
     Emits (keys..., digest binary, count long) whenever a group sees
     new data.  State is the serialized digest — bounded at
     16 B × 10·compression per key regardless of stream length.
-    """
+
+    ``combine_partials=True`` inserts a batch-local partial-digest
+    phase (stateless ``mapInPandas``) BEFORE the stateful shuffle —
+    the map-side combine of the batch engine applied to streaming:
+    each scan task folds its rows into one partial digest per key per
+    Arrow batch, so the state-store shuffle and the stateful
+    operator's Python serde carry O(scan tasks × keys) kilobyte blobs
+    instead of O(rows).  Counts stay exact and estimates stay inside
+    the same tolerance band (merge associativity), but the serialized
+    centroid layout differs from the sequential row fold, so leave
+    this off when byte-comparing against a row-fold digest."""
     keys = list(keys)
+    if combine_partials:
+        return _streaming_tdigest_combined(
+            stream_df, keys, value_col, compression, digest_col
+        )
     key_fields = [f for f in stream_df.schema.fields if f.name in keys]
     out_schema = StructType(
         key_fields
@@ -109,6 +124,124 @@ def streaming_tdigest(
             )
 
     return stream_df.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _streaming_tdigest_combined(
+    stream_df: DataFrame,
+    keys: list,
+    value_col: str,
+    compression: int,
+    digest_col: str,
+) -> DataFrame:
+    """The ``combine_partials=True`` body of ``streaming_tdigest``:
+    stateless per-batch partial digests, then a stateful merge of the
+    partial blobs (same output schema and semantics)."""
+    key_fields = [f for f in stream_df.schema.fields if f.name in keys]
+    part_schema = StructType(
+        key_fields + [StructField("__partial__", BinaryType(), True)]
+    )
+
+    # fold threshold: per-call digest-build overhead is fixed, so tiny
+    # per-Arrow-batch groups must be BUFFERED and folded in large
+    # slabs — one digest per (key, Arrow batch) measured 5x SLOWER
+    # than the plain row shuffle (3.3M 40-value builds at 128M rows);
+    # buffering across the task's batches makes the partial phase run
+    # at the batch engine's vectorized fold rate
+    flush_at = 1 << 18
+
+    def build_partials(batches):
+        bufs: dict[tuple, list[np.ndarray]] = {}
+        sizes: dict[tuple, int] = {}
+        digs: dict[tuple, TDigest] = {}
+
+        def fold(kv):
+            d = digs.get(kv)
+            if d is None:
+                d = digs[kv] = TDigest(compression)
+            d.add_values(np.concatenate(bufs[kv]))
+            bufs[kv] = []
+            sizes[kv] = 0
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            if len(keys) == 1:
+                codes, uniq = pd.factorize(
+                    pdf[keys[0]], use_na_sentinel=False
+                )
+                kvs = [(u,) for u in uniq]
+            else:
+                codes, uniq = pd.factorize(
+                    pd.MultiIndex.from_frame(pdf[keys]), use_na_sentinel=False
+                )
+                kvs = list(uniq)
+            order = np.argsort(codes, kind="stable")
+            counts = np.bincount(codes, minlength=len(kvs))
+            pieces = np.split(vals[order], np.cumsum(counts)[:-1])
+            for kv, piece in zip(kvs, pieces):
+                if not piece.size:
+                    continue
+                bufs.setdefault(kv, []).append(piece)
+                sizes[kv] = sizes.get(kv, 0) + piece.size
+                if sizes[kv] >= flush_at:
+                    fold(kv)
+        for kv, pending in bufs.items():
+            if pending:
+                fold(kv)
+        live = [(kv, d) for kv, d in digs.items() if d.count > 0]
+        if live:
+            yield pd.DataFrame(
+                {
+                    **{
+                        k: [kv[i] for kv, _ in live]
+                        for i, k in enumerate(keys)
+                    },
+                    "__partial__": [d.to_bytes() for _, d in live],
+                }
+            )
+
+    partials = stream_df.select(*keys, value_col).mapInPandas(
+        build_partials, part_schema
+    )
+
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField(digest_col, BinaryType(), True),
+            StructField("count", LongType(), False),
+        ]
+    )
+    state_schema = StructType([StructField("digest", BinaryType(), True)])
+
+    def update(key, batches, state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            d = TDigest.from_bytes(bytes(blob))
+        else:
+            d = TDigest(compression)
+        before = d.count
+        for pdf in batches:
+            for blob in pdf["__partial__"]:
+                d.merge_digest(TDigest.from_bytes(bytes(blob)))
+        if d.count > before:
+            blob = d.to_bytes()
+            state.update((blob,))
+            yield pd.DataFrame(
+                {
+                    **{k: [kv] for k, kv in zip(keys, key)},
+                    digest_col: [blob],
+                    "count": [d.count],
+                }
+            )
+
+    return partials.groupBy(*keys).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,

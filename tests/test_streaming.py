@@ -670,3 +670,43 @@ def test_streaming_windowed_companion_sketches(spark, tmp_path_factory):
             assert err == 0
             assert est == int(truth[item])
         assert {t[0] for t in s.top(3)} == set(truth.index[:3])
+
+
+def test_streaming_tdigest_combine_partials(spark, stream_dir, tmp_path_factory):
+    """combine_partials=True (map-side partial digests before the
+    stateful shuffle — the streaming scale path) must preserve exact
+    per-key counts and land the same rank band as the row-fold form."""
+    src, all_pdf = stream_dir
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = __import__(
+        "tdigest_spark.streaming.digest_stream", fromlist=["streaming_tdigest"]
+    ).streaming_tdigest(
+        stream, ["g"], "v", compression=100, combine_partials=True
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("comb_digests")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path_factory.mktemp("comb_ckpt")))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM comb_digests").collect()
+    final = {}
+    for r in rows:
+        if r["g"] not in final or r["count"] > final[r["g"]]["count"]:
+            final[r["g"]] = {"count": r["count"], "digest": bytes(r["digest"])}
+    for g, sub in all_pdf.groupby("g"):
+        st = final[g]
+        assert st["count"] == len(sub)
+        d = TDigest.from_bytes(st["digest"])
+        xs = np.sort(sub["v"].to_numpy())
+        for p in (0.1, 0.5, 0.9):
+            rank = np.searchsorted(xs, d.quantile(p), side="right") / len(xs)
+            assert abs(rank - p) < 0.02, (g, p, rank)
