@@ -147,39 +147,36 @@ def _streaming_tdigest_combined(
         key_fields + [StructField("__partial__", BinaryType(), True)]
     )
 
-    # fold threshold: per-call digest-build overhead is fixed, so tiny
-    # per-Arrow-batch groups must be BUFFERED and folded in large
-    # slabs — one digest per (key, Arrow batch) measured 5x SLOWER
-    # than the plain row shuffle (3.3M 40-value builds at 128M rows);
-    # buffering across the task's batches makes the partial phase run
-    # at the batch engine's vectorized fold rate
-    flush_at = 1 << 18
+    # The combiner must amortize two fixed costs or it LOSES to the
+    # plain row shuffle (both measured at 128M rows / 256 keys):
+    # 1. digest-build overhead — one digest per (key, Arrow batch) is
+    #    3.3M 40-value builds, 5x slower than shipping the rows;
+    # 2. per-Arrow-batch grouping churn — factorize+argsort+split per
+    #    10k-row Arrow batch allocates hundreds of slivers each time
+    #    and saturates memory bandwidth under concurrent workers.
+    # So the per-batch work is TWO list appends (raw key + value
+    # columns); grouping and folding happen once per multi-million-row
+    # slab (one argsort, one split, one add_values per key).
+    flush_rows = 1 << 22
 
     def build_partials(batches):
-        bufs: dict[tuple, list[np.ndarray]] = {}
-        sizes: dict[tuple, int] = {}
+        key_bufs: list = []
+        val_bufs: list[np.ndarray] = []
+        buffered = 0
         digs: dict[tuple, TDigest] = {}
 
-        def fold(kv):
-            d = digs.get(kv)
-            if d is None:
-                d = digs[kv] = TDigest(compression)
-            d.add_values(np.concatenate(bufs[kv]))
-            bufs[kv] = []
-            sizes[kv] = 0
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vals = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        def fold_slab():
+            nonlocal key_bufs, val_bufs, buffered
+            if not buffered:
+                return
+            vals = np.concatenate(val_bufs)
+            kcat = pd.concat(key_bufs, ignore_index=True)
             if len(keys) == 1:
-                codes, uniq = pd.factorize(
-                    pdf[keys[0]], use_na_sentinel=False
-                )
+                codes, uniq = pd.factorize(kcat, use_na_sentinel=False)
                 kvs = [(u,) for u in uniq]
             else:
                 codes, uniq = pd.factorize(
-                    pd.MultiIndex.from_frame(pdf[keys]), use_na_sentinel=False
+                    pd.MultiIndex.from_frame(kcat), use_na_sentinel=False
                 )
                 kvs = list(uniq)
             order = np.argsort(codes, kind="stable")
@@ -188,13 +185,23 @@ def _streaming_tdigest_combined(
             for kv, piece in zip(kvs, pieces):
                 if not piece.size:
                     continue
-                bufs.setdefault(kv, []).append(piece)
-                sizes[kv] = sizes.get(kv, 0) + piece.size
-                if sizes[kv] >= flush_at:
-                    fold(kv)
-        for kv, pending in bufs.items():
-            if pending:
-                fold(kv)
+                d = digs.get(kv)
+                if d is None:
+                    d = digs[kv] = TDigest(compression)
+                d.add_values(piece)
+            key_bufs, val_bufs, buffered = [], [], 0
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            key_bufs.append(pdf[keys[0]] if len(keys) == 1 else pdf[keys])
+            val_bufs.append(
+                pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            )
+            buffered += len(pdf)
+            if buffered >= flush_rows:
+                fold_slab()
+        fold_slab()
         live = [(kv, d) for kv, d in digs.items() if d.count > 0]
         if live:
             yield pd.DataFrame(
