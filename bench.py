@@ -21,7 +21,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def _settle(max_wait: float = 150.0) -> float:
+def _settle(max_wait: float = 150.0, target: float | None = None) -> float:
     """Wait (bounded) for the box's 1-minute load average to drop below
     ~1/4 of the bench cores before a latency-sensitive measurement.
 
@@ -31,7 +31,8 @@ def _settle(max_wait: float = 150.0) -> float:
     (BENCH.md, rounds 3-4).  Settling costs bounded wall clock and
     removes the see-saw; the observed load is recorded in the output
     so a still-hot box is visible in the number's provenance."""
-    target = max(4.0, 0.25 * CPUS)
+    if target is None:
+        target = max(4.0, 0.25 * CPUS)
     deadline = time.time() + max_wait
     load = os.getloadavg()[0]
     while load > target and time.time() < deadline:
@@ -165,6 +166,13 @@ def main() -> None:
 
     from tdigest_spark.spark.session import warm_workers
 
+    # settle BEFORE the suite too, not just the README pair: the
+    # driver benches right after its own pytest+oracle passes, and the
+    # sub-second suite queries measured uniformly ~15-20% slower while
+    # that load tail (load1 ≈ 3-5) drained — below the old
+    # README-pair-only threshold, so _settle never waited for them
+    suite_load1 = _settle(target=2.0)
+
     spark = get_spark("tdigest-bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     warm_workers(spark)  # pre-import worker-side modules across the pool
@@ -279,6 +287,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
+        "suite_load1_at_start": round(suite_load1, 1),
         "rows_per_sec": int(total_rows / total_time) if total_time > 0 else None,
         "p95_rel_rank_error": round(max_rank_err, 6),
         "flagship_docs_per_sec": int(n_rows / build_sec) if build_sec else None,
