@@ -35,7 +35,6 @@ N_KEYS = 256
 WORKER = r"""
 import json, shutil, sys, tempfile, time
 sys.path.insert(0, %(root)r)
-import numpy as np
 from pyspark.sql import SparkSession, functions as F
 
 cores = int(sys.argv[1])
@@ -53,7 +52,6 @@ spark = (SparkSession.builder.appName(f"stream-scale-{cores}")
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
-from tdigest_spark.kernel.hll import HLL
 from tdigest_spark.kernel.tdigest import TDigest, merge_all
 from tdigest_spark.spark.session import warm_workers
 from tdigest_spark.streaming.digest_stream import (
@@ -145,7 +143,13 @@ qn = run_op("tdigest_combined", lambda: streaming_tdigest(
     combine_partials=True))
 td_verify(qn, "combined")
 
-# --- windowed HLL (watermark-evicted state) -------------------------
+# --- windowed HLL throughput (16 live windows) ----------------------
+# NOTE: every replayed file spans the full 4-day range, so all 16
+# windows stay open for the whole run and NO state is evicted here —
+# evicting mid-run would also drop late rows and break the exactness
+# checks below.  This measures the windowed operator's per-event cost;
+# the eviction path itself is asserted separately
+# (tests/test_streaming.py::test_streaming_windowed_hll_state_expires).
 qn = run_op("whll", lambda: streaming_windowed_hll(
     replay().select("ts", F.xxhash64("uid").alias("h")),
     "ts", "h", window_duration="6 hours", watermark_delay="30 days"))

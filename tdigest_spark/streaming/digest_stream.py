@@ -79,22 +79,48 @@ def streaming_tdigest(
     new data.  State is the serialized digest — bounded at
     16 B × 10·compression per key regardless of stream length.
 
-    ``combine_partials=True`` inserts a batch-local partial-digest
+    ``combine_partials=True`` inserts a task-local partial-digest
     phase (stateless ``mapInPandas``) BEFORE the stateful shuffle —
     the map-side combine of the batch engine applied to streaming:
-    each scan task folds its rows into one partial digest per key per
-    Arrow batch, so the state-store shuffle and the stateful
-    operator's Python serde carry O(scan tasks × keys) kilobyte blobs
-    instead of O(rows).  Counts stay exact and estimates stay inside
-    the same tolerance band (merge associativity), but the serialized
-    centroid layout differs from the sequential row fold, so leave
-    this off when byte-comparing against a row-fold digest."""
+    each scan task buffers its rows and folds them into ONE partial
+    digest per key per task (slab-folded; see
+    ``_streaming_tdigest_combined``), so the state-store shuffle and
+    the stateful operator's Python serde carry O(scan tasks × keys)
+    kilobyte blobs per micro-batch instead of O(rows).  Counts stay
+    exact and estimates stay inside the same tolerance band (merge
+    associativity), but the serialized centroid layout differs from
+    the sequential row fold, so leave this off when byte-comparing
+    against a row-fold digest.  Key columns transit Python in this
+    mode, so keys must not be FLOAT columns and nullable-int key
+    columns must be masked upstream (both checked with clean errors);
+    the row-fold default has no such restriction."""
     keys = list(keys)
     if combine_partials:
         return _streaming_tdigest_combined(
             stream_df, keys, value_col, compression, digest_col
         )
     key_fields = [f for f in stream_df.schema.fields if f.name in keys]
+
+    def fold(d, pdf):
+        d.add_values(pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
+
+    return _stateful_tdigest_merge(
+        stream_df, keys, key_fields, compression, digest_col, fold
+    )
+
+
+def _stateful_tdigest_merge(
+    df: DataFrame,
+    keys: list,
+    key_fields: list,
+    compression: int,
+    digest_col: str,
+    fold,
+) -> DataFrame:
+    """Shared stateful stage of both ``streaming_tdigest`` forms: one
+    serialized digest per key in operator state, ``fold(digest, pdf)``
+    folds one pandas batch (raw values or partial blobs) into it, and
+    (keys..., digest, count) is emitted whenever the count grew."""
     out_schema = StructType(
         key_fields
         + [
@@ -110,9 +136,13 @@ def streaming_tdigest(
             d = TDigest.from_bytes(bytes(blob))
         else:
             d = TDigest(compression)
+        before = d.count
         for pdf in batches:
-            d.add_values(pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
-        if d.count > 0:
+            fold(d, pdf)
+        # emit only when the count grew: a batch whose rows all failed
+        # to add (all-NaN values, or partials that merged nothing)
+        # leaves state and downstream sinks untouched
+        if d.count > before:
             blob = d.to_bytes()
             state.update((blob,))
             yield pd.DataFrame(
@@ -123,7 +153,7 @@ def streaming_tdigest(
                 }
             )
 
-    return stream_df.groupBy(*keys).applyInPandasWithState(
+    return df.groupBy(*keys).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -140,9 +170,28 @@ def _streaming_tdigest_combined(
     digest_col: str,
 ) -> DataFrame:
     """The ``combine_partials=True`` body of ``streaming_tdigest``:
-    stateless per-batch partial digests, then a stateful merge of the
-    partial blobs (same output schema and semantics)."""
+    stateless task-local partial digests (one per key per task,
+    slab-folded), then a stateful merge of the partial blobs through
+    the shared ``_stateful_tdigest_merge`` stage (same output schema
+    and semantics as the row fold)."""
+    from pyspark.sql.types import DoubleType, FloatType
+
     key_fields = [f for f in stream_df.schema.fields if f.name in keys]
+    # keys transit Python here (the row-fold path never sends them
+    # through pandas): a float key's NaN would come back as NULL
+    # (Arrow conflates them), silently merging the NaN-key group into
+    # the NULL-key group — reject at plan time
+    for f in key_fields:
+        if isinstance(f.dataType, (FloatType, DoubleType)):
+            raise ValueError(
+                f"combine_partials: key column {f.name!r} is "
+                f"{f.dataType.simpleString()} — float keys cannot "
+                "round-trip pandas without conflating NaN with NULL; "
+                "cast the key or use the row-fold default"
+            )
+    int_keys = {
+        f.name for f in key_fields if f.dataType.simpleString().endswith("int")
+    }
     part_schema = StructType(
         key_fields + [StructField("__partial__", BinaryType(), True)]
     )
@@ -194,6 +243,18 @@ def _streaming_tdigest_combined(
         for pdf in batches:
             if not len(pdf):
                 continue
+            for k in int_keys:
+                if pdf[k].dtype.kind == "f":
+                    # a NULL in the batch promoted the int key column
+                    # to float64, rounding values above 2^53 before
+                    # this code runs — rows would land in the WRONG
+                    # key's digest with no error
+                    raise ValueError(
+                        f"combine_partials: integer key column {k!r} "
+                        "arrived as float (NULL keys in the stream) — "
+                        "filter or sentinel-mask NULL keys upstream, "
+                        "or use the row-fold default"
+                    )
             key_bufs.append(pdf[keys[0]] if len(keys) == 1 else pdf[keys])
             val_bufs.append(
                 pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
@@ -218,42 +279,12 @@ def _streaming_tdigest_combined(
         build_partials, part_schema
     )
 
-    out_schema = StructType(
-        key_fields
-        + [
-            StructField(digest_col, BinaryType(), True),
-            StructField("count", LongType(), False),
-        ]
-    )
-    state_schema = StructType([StructField("digest", BinaryType(), True)])
+    def fold(d, pdf):
+        for blob in pdf["__partial__"]:
+            d.merge_digest(TDigest.from_bytes(bytes(blob)))
 
-    def update(key, batches, state: GroupState):
-        if state.exists:
-            (blob,) = state.get
-            d = TDigest.from_bytes(bytes(blob))
-        else:
-            d = TDigest(compression)
-        before = d.count
-        for pdf in batches:
-            for blob in pdf["__partial__"]:
-                d.merge_digest(TDigest.from_bytes(bytes(blob)))
-        if d.count > before:
-            blob = d.to_bytes()
-            state.update((blob,))
-            yield pd.DataFrame(
-                {
-                    **{k: [kv] for k, kv in zip(keys, key)},
-                    digest_col: [blob],
-                    "count": [d.count],
-                }
-            )
-
-    return partials.groupBy(*keys).applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return _stateful_tdigest_merge(
+        partials, keys, key_fields, compression, digest_col, fold
     )
 
 

@@ -683,9 +683,7 @@ def test_streaming_tdigest_combine_partials(spark, stream_dir, tmp_path_factory)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    out = __import__(
-        "tdigest_spark.streaming.digest_stream", fromlist=["streaming_tdigest"]
-    ).streaming_tdigest(
+    out = streaming_tdigest(
         stream, ["g"], "v", compression=100, combine_partials=True
     )
     q = (
@@ -710,3 +708,15 @@ def test_streaming_tdigest_combine_partials(spark, stream_dir, tmp_path_factory)
         for p in (0.1, 0.5, 0.9):
             rank = np.searchsorted(xs, d.quantile(p), side="right") / len(xs)
             assert abs(rank - p) < 0.02, (g, p, rank)
+
+
+def test_streaming_tdigest_combine_rejects_float_keys(spark, stream_dir):
+    """combine_partials sends keys through pandas, where a float key's
+    NaN comes back as NULL — rejected at plan time with a clean error
+    (the row-fold default has no such restriction)."""
+    src, _ = stream_dir
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    fs = stream.withColumn("fkey", F.rand())
+    with pytest.raises(ValueError, match="float keys"):
+        streaming_tdigest(fs, ["fkey"], "v", combine_partials=True)
