@@ -29,6 +29,7 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EVENTS = "/tmp/tdigest_stream/events"
+EVENTS_SORTED = "/tmp/tdigest_stream/events_sorted"
 N_FILES = 8
 N_KEYS = 256
 
@@ -60,12 +61,14 @@ from tdigest_spark.streaming.digest_stream import (
 
 warm_workers(spark)
 src = %(events)r
+src_sorted = %(events_sorted)r
 schema = spark.read.parquet(src).schema
 n_total = spark.read.parquet(src).count()  # also warms the page cache
+spark.read.parquet(src_sorted).count()
 
-def replay():
+def replay(path=None):
     return (spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 2).parquet(src))
+            .option("maxFilesPerTrigger", 2).parquet(path or src))
 
 trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 out = {"cores": cores, "events": n_total, "trials": trials}
@@ -107,6 +110,10 @@ def run_op(name, build_out):
         for k in ("triggerExecution", "addBatch", "getBatch", "walCommit",
                   "commitOffsets")
     }
+    out[f"{name}_state_rows"] = [
+        p["stateOperators"][0]["numRowsTotal"] for p in prog
+        if p.get("stateOperators")
+    ]
     return qn
 
 def td_final(qn):
@@ -168,6 +175,37 @@ for w, n in ex.items():
     assert abs(fin[w] - n) <= max(10, 0.05 * n), (w, fin[w], n)
 out["whll_windows"] = len(ex)
 
+# --- windowed HLL with eviction ACTIVE (time-ordered replay) --------
+# The sorted corpus writes its 8 files in event-time order, so the
+# watermark advances past closed windows while the stream runs: with
+# a 1-hour delay on 6-hour windows, earlier windows are EVICTED while
+# later batches process — throughput measured with the timeout path
+# live (the unsorted replay above never evicts).  No late data exists
+# (files are time-ordered), so the exactness checks still hold.
+qn = run_op("whll_evict", lambda: streaming_windowed_hll(
+    replay(src_sorted).select("ts", F.xxhash64("uid").alias("h")),
+    "ts", "h", window_duration="6 hours", watermark_delay="1 hour"))
+fin = {}
+for r in spark.sql(f"SELECT * FROM {qn}").collect():
+    k = r["window_start"]
+    fin[k] = max(fin.get(k, 0), r["estimate"])
+ex = {r["w"]: r["n"] for r in
+      spark.read.parquet(src_sorted)
+      .select(F.window("ts", "6 hours")["start"].alias("w"), "uid")
+      .groupBy("w").agg(F.countDistinct("uid").alias("n")).collect()}
+assert set(fin) == set(ex), (len(fin), len(ex))
+for w, n in ex.items():
+    assert abs(fin[w] - n) <= max(10, 0.05 * n), (w, fin[w], n)
+# eviction evidence: the time-ordered run opens 4 new windows per
+# batch and evicts closed ones as the watermark passes them, so peak
+# concurrent state stays FAR below the 16 total windows — while the
+# unsorted run above (nothing evictable) must accumulate all 16
+rows_seq = out["whll_evict_state_rows"]
+assert rows_seq and max(rows_seq) < max(out["whll_state_rows"]), (
+    rows_seq, out["whll_state_rows"])
+assert max(rows_seq) < len(ex), rows_seq
+out["whll_evict_windows"] = len(ex)
+
 print(json.dumps(out))
 """
 
@@ -216,15 +254,81 @@ def ensure_events(n_rows: int) -> None:
     spark.stop()
 
 
+def ensure_events_sorted(n_rows: int) -> None:
+    """Time-ordered variant for the eviction-active run: the same
+    closed-form columns, but ts is monotone in the row id and the 8
+    files are written SEQUENTIALLY (one per 12-hour slice, distinct
+    mtimes) so the file-source replays them in event-time order and
+    the watermark advances past closed windows mid-stream."""
+    import time as _time
+
+    marker = os.path.join(EVENTS_SORTED, "_SUCCESS")
+    meta = os.path.join(EVENTS_SORTED, "_N_ROWS")
+    if os.path.exists(marker) and os.path.exists(meta):
+        with open(meta) as f:
+            if int(f.read().strip()) == n_rows:
+                return
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.appName("stream-scale-gen-sorted")
+        .master("local[32]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import shutil
+
+    shutil.rmtree(EVENTS_SORTED, ignore_errors=True)
+    span = 4 * 86400
+    per_file = n_rows // N_FILES
+    for i in range(N_FILES):
+        lo_id = i * per_file
+        hi_id = n_rows if i == N_FILES - 1 else (i + 1) * per_file
+        sl = (
+            spark.range(lo_id, hi_id)
+            .select(
+                (F.col("id") % N_KEYS).cast("int").alias("key"),
+                (
+                    F.abs(F.xxhash64(F.col("id"), F.lit(41)))
+                    / float((1 << 63) - 1)
+                    * 100.0
+                ).alias("value"),
+                (
+                    F.to_timestamp(F.lit("2024-05-01 00:00:00"))
+                    + F.make_interval(
+                        secs=(F.col("id") * span / n_rows).cast("long")
+                    )
+                ).alias("ts"),
+                (F.col("id") % 1_000_000).alias("uid"),
+            )
+        )
+        # single-writer files default to ~128MB row groups, and splits
+        # cannot be finer than a row group — 16MB groups keep the
+        # replay's scan parallelism comparable to the unsorted corpus
+        sl.coalesce(1).write.option(
+            "parquet.block.size", str(16 * 1024 * 1024)
+        ).mode("append").parquet(EVENTS_SORTED)
+        _time.sleep(0.3)  # distinct mtimes -> deterministic replay order
+    with open(meta, "w") as f:
+        f.write(str(n_rows))
+    spark.stop()
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
     hi = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     trials = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     lo = max(1, hi // 4)
     ensure_events(n_rows)
+    ensure_events_sorted(n_rows)
     results = {}
     for cores in (lo, hi):
-        body = WORKER % {"root": ROOT, "events": EVENTS}
+        body = WORKER % {"root": ROOT, "events": EVENTS,
+                         "events_sorted": EVENTS_SORTED}
         proc = subprocess.run(
             [sys.executable, "-c", body, str(cores), str(trials)],
             capture_output=True,
@@ -235,7 +339,7 @@ def main() -> None:
             sys.stderr.write(proc.stderr[-4000:])
             raise SystemExit(f"worker at local[{cores}] failed")
         results[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
-    for op in ("tdigest", "tdigest_combined", "whll"):
+    for op in ("tdigest", "tdigest_combined", "whll", "whll_evict"):
         r_lo, r_hi = results[lo], results[hi]
         speedup = r_hi[f"{op}_events_per_sec"] / r_lo[f"{op}_events_per_sec"]
         results[f"{op}_scaling_efficiency_{lo}_{hi}"] = round(
