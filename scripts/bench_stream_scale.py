@@ -201,7 +201,8 @@ for w, n in ex.items():
 # concurrent state stays FAR below the 16 total windows — while the
 # unsorted run above (nothing evictable) must accumulate all 16
 rows_seq = out["whll_evict_state_rows"]
-assert rows_seq and max(rows_seq) < max(out["whll_state_rows"]), (
+assert rows_seq and out["whll_state_rows"] and (
+    max(rows_seq) < max(out["whll_state_rows"])), (
     rows_seq, out["whll_state_rows"])
 assert max(rows_seq) < len(ex), rows_seq
 out["whll_evict_windows"] = len(ex)
@@ -235,17 +236,11 @@ print(json.dumps(out))
 """
 
 
-def ensure_events(n_rows: int) -> None:
-    marker = os.path.join(EVENTS, "_SUCCESS")
-    meta = os.path.join(EVENTS, "_N_ROWS")
-    if os.path.exists(marker) and os.path.exists(meta):
-        with open(meta) as f:
-            if int(f.read().strip()) == n_rows:
-                return
-    from pyspark.sql import SparkSession, functions as F
+def _gen_session(name: str):
+    from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.appName("stream-scale-gen")
+        SparkSession.builder.appName(name)
         .master("local[32]")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -254,93 +249,118 @@ def ensure_events(n_rows: int) -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # all closed-form in the row id: deterministic regardless of
-    # partitioning; value is a uniform double derived from a 63-bit
-    # hash, ts spreads the rows over 4 days, uid gives ~1M distincts
-    df = (
-        spark.range(n_rows)
-        .select(
-            (F.col("id") % N_KEYS).cast("int").alias("key"),
-            (
-                F.abs(F.xxhash64(F.col("id"), F.lit(41)))
-                / float((1 << 63) - 1)
-                * 100.0
-            ).alias("value"),
-            (
-                F.to_timestamp(F.lit("2024-05-01 00:00:00"))
-                + F.make_interval(secs=(F.col("id") % (4 * 86400)))
-            ).alias("ts"),
-            (F.col("id") % 1_000_000).alias("uid"),
-        )
+    return spark
+
+
+def _event_cols(ts_secs_expr):
+    """The ONE closed-form column set shared by both corpora (only the
+    ts expression differs — scattered vs monotone): all columns are
+    pure functions of the row id, so generation is deterministic
+    regardless of partitioning; value is a uniform double from a
+    63-bit hash, uid gives ~1M distincts."""
+    from pyspark.sql import functions as F
+
+    return [
+        (F.col("id") % N_KEYS).cast("int").alias("key"),
+        (
+            F.abs(F.xxhash64(F.col("id"), F.lit(41)))
+            / float((1 << 63) - 1)
+            * 100.0
+        ).alias("value"),
+        (
+            F.to_timestamp(F.lit("2024-05-01 00:00:00"))
+            + F.make_interval(secs=ts_secs_expr)
+        ).alias("ts"),
+        (F.col("id") % 1_000_000).alias("uid"),
+    ]
+
+
+def _cached(path: str, n_rows: int) -> bool:
+    marker = os.path.join(path, "_SUCCESS")
+    meta = os.path.join(path, "_N_ROWS")
+    if os.path.exists(marker) and os.path.exists(meta):
+        with open(meta) as f:
+            return int(f.read().strip()) == n_rows
+    return False
+
+
+def _stamp(path: str, n_rows: int) -> None:
+    with open(os.path.join(path, "_N_ROWS"), "w") as f:
+        f.write(str(n_rows))
+
+
+def ensure_events(n_rows: int) -> None:
+    if _cached(EVENTS, n_rows):
+        return
+    from pyspark.sql import functions as F
+
+    spark = _gen_session("stream-scale-gen")
+    df = spark.range(n_rows).select(
+        *_event_cols(F.col("id") % (4 * 86400))
     )
     df.repartition(N_FILES).write.mode("overwrite").parquet(EVENTS)
-    with open(meta, "w") as f:
-        f.write(str(n_rows))
+    _stamp(EVENTS, n_rows)
     spark.stop()
 
 
 def ensure_events_sorted(n_rows: int) -> None:
     """Time-ordered variant for the eviction-active run: the same
     closed-form columns, but ts is monotone in the row id and the 8
-    files are written SEQUENTIALLY (one per 12-hour slice, distinct
-    mtimes) so the file-source replays them in event-time order and
-    the watermark advances past closed windows mid-stream."""
+    files carry ASCENDING mtimes in event-time order, so the
+    file-source replays them oldest-first and the watermark advances
+    past closed windows mid-stream.  Written as ONE parallel job
+    (range-partitioned by id, so each output file is a contiguous
+    12-hour slice), then mtimes are imposed afterwards from each
+    file's parquet ts statistics — 8 sequential single-writer jobs
+    measured minutes slower for the same bytes."""
     import time as _time
 
-    marker = os.path.join(EVENTS_SORTED, "_SUCCESS")
-    meta = os.path.join(EVENTS_SORTED, "_N_ROWS")
-    if os.path.exists(marker) and os.path.exists(meta):
-        with open(meta) as f:
-            if int(f.read().strip()) == n_rows:
-                return
-    from pyspark.sql import SparkSession, functions as F
-
-    spark = (
-        SparkSession.builder.appName("stream-scale-gen-sorted")
-        .master("local[32]")
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", "8g")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    if _cached(EVENTS_SORTED, n_rows):
+        return
     import shutil
 
+    from pyspark.sql import functions as F
+
+    spark = _gen_session("stream-scale-gen-sorted")
     shutil.rmtree(EVENTS_SORTED, ignore_errors=True)
     span = 4 * 86400
-    per_file = n_rows // N_FILES
-    for i in range(N_FILES):
-        lo_id = i * per_file
-        hi_id = n_rows if i == N_FILES - 1 else (i + 1) * per_file
-        sl = (
-            spark.range(lo_id, hi_id)
-            .select(
-                (F.col("id") % N_KEYS).cast("int").alias("key"),
-                (
-                    F.abs(F.xxhash64(F.col("id"), F.lit(41)))
-                    / float((1 << 63) - 1)
-                    * 100.0
-                ).alias("value"),
-                (
-                    F.to_timestamp(F.lit("2024-05-01 00:00:00"))
-                    + F.make_interval(
-                        secs=(F.col("id") * span / n_rows).cast("long")
-                    )
-                ).alias("ts"),
-                (F.col("id") % 1_000_000).alias("uid"),
-            )
-        )
-        # single-writer files default to ~128MB row groups, and splits
-        # cannot be finer than a row group — 16MB groups keep the
-        # replay's scan parallelism comparable to the unsorted corpus
-        sl.coalesce(1).write.option(
-            "parquet.block.size", str(16 * 1024 * 1024)
-        ).mode("append").parquet(EVENTS_SORTED)
-        _time.sleep(0.3)  # distinct mtimes -> deterministic replay order
-    with open(meta, "w") as f:
-        f.write(str(n_rows))
+    df = spark.range(n_rows).select(
+        F.col("id"), *_event_cols((F.col("id") * span / n_rows).cast("long"))
+    )
+    # single-writer files default to ~128MB row groups, and splits
+    # cannot be finer than a row group — 16MB groups keep the
+    # replay's scan parallelism comparable to the unsorted corpus
+    (
+        df.repartitionByRange(N_FILES, "id")
+        .drop("id")
+        .write.option("parquet.block.size", str(16 * 1024 * 1024))
+        .mode("overwrite")
+        .parquet(EVENTS_SORTED)
+    )
     spark.stop()
+    # impose replay order: FileStreamSource processes files by mtime;
+    # stamp each part file with an mtime ascending in its ts range
+    # (read from the parquet footer statistics — no data scan)
+    import pyarrow.parquet as pq
+
+    parts = [
+        os.path.join(EVENTS_SORTED, f)
+        for f in os.listdir(EVENTS_SORTED)
+        if f.endswith(".parquet")
+    ]
+    def min_ts(p):
+        # parquet stats are not written for this timestamp column;
+        # rows within a file are ts-sorted (range partition on id,
+        # monotone ts), so the first row IS the file minimum
+        batch = next(
+            pq.ParquetFile(p).iter_batches(batch_size=1, columns=["ts"])
+        )
+        return batch.column(0)[0].as_py()
+    parts.sort(key=min_ts)
+    now = _time.time()
+    for i, p in enumerate(parts):
+        os.utime(p, (now + i, now + i))  # 1s apart, oldest slice first
+    _stamp(EVENTS_SORTED, n_rows)
 
 
 def main() -> None:
