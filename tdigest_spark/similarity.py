@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import contextlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -27,6 +29,34 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+_AUTO_BUCKETED_SCAN = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+
+
+@contextlib.contextmanager
+def bucket_pruning_enforced(spark):
+    """Pin the conf that keeps bucket pruning alive for probe scans,
+    restoring the caller's setting on exit.
+
+    Spark's ``DisableUnnecessaryBucketedScan`` rule (on by default via
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=true``)
+    drops the bucketed scan whenever no downstream operator consumes
+    the bucketing — and a bare ``filter(list_id.isin(...))`` followed
+    by ``mapInPandas`` is exactly that shape.  Dropping the bucketed
+    scan also drops bucket PRUNING, so on a vanilla session the IVF
+    probe silently reads the ENTIRE index table (at 10⁹ vectors: a
+    full-corpus scan per probe batch).  The conf is a runtime-settable
+    SQL conf; pinning it around plan+execute makes pruning a property
+    of the library, not of who built the session."""
+    prev = spark.conf.get(_AUTO_BUCKETED_SCAN, None)
+    spark.conf.set(_AUTO_BUCKETED_SCAN, "false")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_AUTO_BUCKETED_SCAN)
+        else:
+            spark.conf.set(_AUTO_BUCKETED_SCAN, prev)
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -85,16 +115,21 @@ def cosine_topk(
             # best_sims starts at width k (-inf/-1 placeholders), so the
             # concatenation is always >= k wide and slicing to k keeps
             # the placeholder semantics the final mask depends on
-            new_sims = np.empty((len(qids_), k))
-            new_ids = np.empty_like(new_sims, dtype=np.int64)
-            # vectorized argpartition finds each row's k-th sim; only
-            # the entries at-or-above it (top-k plus boundary ties) need
-            # the O(k log k) deterministic (sim desc, id asc) lexsort —
-            # a full-width lexsort here costs O(w log w) per query per
-            # batch on the exact-search hot path
+            # vectorized argpartition finds each row's k-th sim; when
+            # exactly k entries sit at-or-above it the top-k SET is
+            # unique and the partition indices are taken verbatim (no
+            # per-row Python).  Only rows with a tie AT the boundary
+            # (n_geq > k — the selected set would otherwise depend on
+            # batch/partition order) fall back to the deterministic
+            # (sim desc, id asc) lexsort; boundary ties are rare on
+            # real-valued sims, so the interpreted loop runs O(ties),
+            # not O(queries), per batch
             part = np.argpartition(-all_sims, k - 1, axis=1)[:, :k]
             kth = np.take_along_axis(all_sims, part, 1).min(axis=1)
-            for qi in range(len(qids_)):
+            n_geq = (all_sims >= kth[:, None]).sum(axis=1)
+            new_sims = np.take_along_axis(all_sims, part, 1)
+            new_ids = np.take_along_axis(all_ids, part, 1)
+            for qi in np.flatnonzero(n_geq > k):
                 cand = np.flatnonzero(all_sims[qi] >= kth[qi])
                 order = cand[
                     np.lexsort((all_ids[qi, cand], -all_sims[qi, cand]))[:k]
@@ -274,18 +309,8 @@ def ivf_centroids(
     sample is a TakeOrdered (sort pushed into the scan, only
     ``sample_rows`` rows reach the driver) and training is bit-stable
     for a given corpus."""
-    sel = df.select(*([order_col] if order_col is not None else []), vec_col)
-    if order_col is not None:
-        sel = sel.orderBy(order_col)
-    sample = sel.limit(sample_rows).collect()
-    X = _normalize(np.array([r[vec_col] for r in sample], dtype=np.float64))
-    rng = np.random.RandomState(seed)
-    # seeded farthest-point init (deterministic)
-    cents = [X[rng.randint(len(X))]]
-    for _ in range(n_lists - 1):
-        d = 1.0 - np.max(np.stack([X @ c for c in cents]), axis=0)
-        cents.append(X[int(np.argmax(d))])
-    C = np.stack(cents)
+    X = _collect_sample(df, vec_col, order_col, sample_rows)
+    C = _farthest_seed(X, n_lists, seed)
     for _ in range(iters):
         assign = np.argmax(X @ C.T, axis=1)
         for j in range(n_lists):
@@ -293,6 +318,157 @@ def ivf_centroids(
             if len(members):
                 C[j] = members.mean(axis=0)
         C = _normalize(C)
+    return C
+
+
+def _collect_sample(
+    df: DataFrame, vec_col: str, order_col: str | None, sample_rows: int
+) -> np.ndarray:
+    """Driver-side normalized sample matrix for centroid seeding —
+    TakeOrdered when ``order_col`` is given (bit-stable across
+    partition layouts), plain limit otherwise."""
+    sel = df.select(*([order_col] if order_col is not None else []), vec_col)
+    if order_col is not None:
+        sel = sel.orderBy(order_col)
+    sample = sel.limit(sample_rows).collect()
+    return _normalize(np.array([r[vec_col] for r in sample], dtype=np.float64))
+
+
+def _farthest_seed(X: np.ndarray, n_lists: int, seed: int) -> np.ndarray:
+    """Deterministic k-means++-style farthest-point seeding from a
+    seeded random start (cosine distance on normalized rows)."""
+    rng = np.random.RandomState(seed)
+    cents = [X[rng.randint(len(X))]]
+    best = X @ cents[0]  # running max similarity to any chosen seed
+    for _ in range(n_lists - 1):
+        nxt = int(np.argmin(best))  # farthest = least similar
+        cents.append(X[nxt])
+        np.maximum(best, X @ cents[-1], out=best)
+    return np.stack(cents)
+
+
+def ivf_centroids_distributed(
+    df: DataFrame,
+    vec_col: str,
+    n_lists: int = 256,
+    iters: int = 8,
+    seed: int = 42,
+    order_col: str | None = None,
+    init_sample_rows: int | None = None,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Train an IVF coarse quantizer with DISTRIBUTED Lloyd iterations
+    — the path past ``ivf_centroids``'s driver-side cap.  The driver
+    Lloyd trains on a ≤20 k-row collected sample, which cannot separate
+    n_lists ≳ a few hundred; 10⁹+-vector corpora want n_lists ~ √n
+    (10³-10⁴).  Here only the SEEDING sample is collected
+    (``init_sample_rows``, default ``max(4·n_lists, 8192)`` rows); each
+    Lloyd iteration is a full Spark pass: an Arrow-batched partial pass
+    accumulates per-partition (list_id, count, sum-vector) partials —
+    at most ``partitions × n_lists`` rows of ``dim`` doubles cross the
+    shuffle, never vectors — which a per-list ``applyInPandas`` merge
+    reduces so the driver collects exactly ``n_lists`` rows per
+    iteration regardless of corpus size or partition count.
+
+    ``sample_fraction`` switches iterations to seeded mini-batch
+    (``df.sample``) for corpora where even one full pass per iteration
+    is too costly.  Deterministic for a fixed corpus + partition
+    layout: partials are summed in partition-id order and the merge
+    sorts by partition id, so float accumulation order is stable.
+    Empty lists keep their previous centroid.  Returns
+    ``(n_lists, dim)`` float64, rows L2-normalized."""
+    spark = df.sparkSession
+    if init_sample_rows is None:
+        init_sample_rows = max(4 * n_lists, 8192)
+    X0 = _collect_sample(df, vec_col, order_col, init_sample_rows)
+    if len(X0) < n_lists:
+        raise ValueError(
+            f"seeding sample has {len(X0)} rows < n_lists={n_lists}; "
+            "raise init_sample_rows or lower n_lists"
+        )
+    C = _farthest_seed(X0, n_lists, seed)
+    dim = C.shape[1]
+
+    partial_schema = StructType(
+        [
+            StructField("pid", IntegerType()),
+            StructField("list_id", IntegerType()),
+            StructField("cnt", LongType()),
+            StructField("vsum", ArrayType(DoubleType())),
+        ]
+    )
+    merged_schema = StructType(
+        [
+            StructField("list_id", IntegerType()),
+            StructField("cnt", LongType()),
+            StructField("vsum", ArrayType(DoubleType())),
+        ]
+    )
+
+    def merge_lists(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pid", kind="mergesort")
+        vs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vsum"]])
+        return pd.DataFrame(
+            {
+                "list_id": [int(pdf["list_id"].iloc[0])],
+                "cnt": [int(pdf["cnt"].sum())],
+                "vsum": [vs.sum(axis=0)],
+            }
+        )
+
+    base = df.select(vec_col)
+    for it in range(iters):
+        data = (
+            base.sample(fraction=sample_fraction, seed=seed + it)
+            if sample_fraction is not None
+            else base
+        )
+        data = data.withColumn("__pid__", F.spark_partition_id())
+        bc = spark.sparkContext.broadcast(C)
+
+        def partials(batches):
+            C_ = bc.value
+            sums = np.zeros((n_lists, dim))
+            counts = np.zeros(n_lists, dtype=np.int64)
+            pid = 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pid = int(pdf["__pid__"].iloc[0])
+                mat = _normalize(_to_matrix(pdf[vec_col]))
+                assign = np.argmax(mat @ C_.T, axis=1)
+                # per-dimension weighted bincount beats np.add.at's
+                # unbuffered element loop ~10× on wide batches
+                for d in range(dim):
+                    sums[:, d] += np.bincount(
+                        assign, weights=mat[:, d], minlength=n_lists
+                    )
+                counts += np.bincount(assign, minlength=n_lists)
+            live = np.flatnonzero(counts)
+            if len(live):
+                yield pd.DataFrame(
+                    {
+                        "pid": np.full(len(live), pid, dtype=np.int32),
+                        "list_id": live.astype(np.int32),
+                        "cnt": counts[live],
+                        "vsum": list(sums[live]),
+                    }
+                )
+
+        rows = (
+            data.mapInPandas(partials, partial_schema)
+            .groupBy("list_id")
+            .applyInPandas(merge_lists, merged_schema)
+            .collect()
+        )
+        C_new = C.copy()  # empty lists keep their previous centroid
+        for r in rows:
+            if r["cnt"]:
+                C_new[r["list_id"]] = (
+                    np.asarray(r["vsum"], dtype=np.float64) / r["cnt"]
+                )
+        C = _normalize(C_new)
+        bc.destroy()
     return C
 
 
@@ -470,7 +646,20 @@ def ivf_topk_bucketed(
             }
         )
 
-    return partials.groupBy("query_id").applyInPandas(global_merge, result_schema)
+    out = partials.groupBy("query_id").applyInPandas(global_merge, result_schema)
+    # Execute the probe NOW, while bucket pruning is pinned
+    # (bucket_pruning_enforced): the scan's physical planning happens at
+    # action time, so a lazily-returned frame would plan under whatever
+    # conf the CALLER's session carries — on a vanilla session the
+    # auto-bucketed-scan rule would silently drop pruning and full-scan
+    # the index.  The result is bounded (≤ |queries|·k rows), so eager
+    # persist+count is cheap; recomputation after cache eviction is
+    # still correct (just unpruned).  Callers may ``unpersist()`` the
+    # returned frame once consumed.
+    with bucket_pruning_enforced(spark):
+        out = out.persist()
+        out.count()
+    return out
 
 
 def _query_probes(

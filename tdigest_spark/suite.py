@@ -939,41 +939,65 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STORED bucketed IVF index — the 100 TB ANN layout: write the
-    index bucketed by list_id (one assignment pass), answer probed
-    top-k through Spark's bucket pruning (the plan must show
-    ``SelectedBucketsCount`` strictly below the bucket total), recall@10
-    >= 0.7 vs the exact brute-force baseline.  The verdict row is
-    materialized eagerly so the scratch table can be dropped before
-    returning (the driver collects the returned frame lazily)."""
+    index bucketed by list_id (one assignment pass, centroids trained
+    by the DISTRIBUTED Lloyd path), answer probed top-k through Spark's
+    bucket pruning, recall@10 >= 0.7 vs the exact brute-force baseline.
+    Pruning is asserted twice: the full 10-query probe scan must be
+    bounded by its probe set, and a single-query scan (n_probe=6 of 16
+    lists) must show ``SelectedBucketsCount`` STRICTLY below the bucket
+    total — a check that fails whenever pruning is actually off, which
+    the full-probe bound alone cannot guarantee (10 queries × 12 probes
+    legitimately cover all 16 lists at this sf).  The whole probe runs
+    under ``bucket_pruning_enforced`` so the verdict is independent of
+    the session's ``autoBucketedScan`` conf (the r4/r5 driver flip: a
+    vanilla session drops the bucketed scan for this shape and pruning
+    silently disappears).  The verdict row is materialized eagerly so
+    the scratch table can be dropped before returning (the driver
+    collects the returned frame lazily)."""
     import contextlib
     import io
     import re
     import shutil
+    from urllib.parse import urlparse
 
     from tdigest_spark.similarity import (
+        bucket_pruning_enforced,
         cosine_topk,
-        ivf_centroids,
+        ivf_centroids_distributed,
         ivf_probe_lists,
         ivf_topk_bucketed,
         ivf_write_index,
     )
+
+    def _selected_buckets(scan_df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            scan_df.explain("formatted")
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", buf.getvalue())
+        return (int(m.group(1)), int(m.group(2))) if m else (None, None)
 
     emb = _read(spark, sf_dir, "embeddings")
     qrows = emb.filter(F.col("vec_id") < 10).collect()
     queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
     corpus = emb.filter(F.col("vec_id") >= 10)
     n_buckets = 16
-    cents = ivf_centroids(corpus, "embedding", n_lists=n_buckets, order_col="vec_id")
+    cents = ivf_centroids_distributed(
+        corpus, "embedding", n_lists=n_buckets, order_col="vec_id",
+        init_sample_rows=20_000,
+    )
 
     table = "suite_ivf_index"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # clear a stale uncataloged directory under the session's ACTUAL
     # warehouse (a crashed prior run leaves the dir but no catalog
-    # entry, so the DROP above is a no-op and saveAsTable would fail)
-    warehouse = re.sub(
-        r"^file:/{0,2}", "/", spark.conf.get("spark.sql.warehouse.dir")
-    ).replace("//", "/")
-    shutil.rmtree(f"{warehouse.rstrip('/')}/{table}", ignore_errors=True)
+    # entry, so the DROP above is a no-op and saveAsTable would fail) —
+    # only when the warehouse is local-filesystem; on an object-store
+    # or HDFS warehouse a local rmtree would be meaningless (and the
+    # old string-scrub produced a bogus local path from the URI)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if wh.scheme in ("", "file"):
+        warehouse = (wh.path or wh.netloc).replace("//", "/")
+        shutil.rmtree(f"{warehouse.rstrip('/')}/{table}", ignore_errors=True)
     try:
         ivf_write_index(
             corpus, "vec_id", "embedding", cents, table, n_buckets=n_buckets
@@ -982,27 +1006,33 @@ def q_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the queries probing ITS list (true IVF semantics — the
         # work-saving shape at volume), which recalls less than the
         # union-scan q_ann_ivf path at equal n_probe on this tiny
-        # corpus; measured recall@10 here: 0.79/0.87/0.91 at
-        # n_probe 8/10/12 (deterministic, see ivf_centroids order_col)
+        # corpus (deterministic: seeded distributed Lloyd + tie-broken
+        # top-k)
         n_probe = 12
         # the SAME probe selection ivf_topk_bucketed runs (one source
         # of truth), so the plan assertion checks the scan the recall
         # measurement actually executes
         probe_lists = ivf_probe_lists(queries, cents, n_probe)
-        scan = spark.table(table).filter(F.col("list_id").isin(probe_lists))
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            scan.explain("formatted")
-        plan = buf.getvalue()
-        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
-        # pruning applied (SelectedBucketsCount present), bounded by the
-        # probed lists, over the expected bucket total — deliberately
-        # not a strict < total, which would be data-dependent on probe
-        # coverage (10 queries × top-6 can legitimately touch all lists)
+        probe_one = ivf_probe_lists(queries[:1], cents, 6)
+        with bucket_pruning_enforced(spark):
+            sel, tot = _selected_buckets(
+                spark.table(table).filter(F.col("list_id").isin(probe_lists))
+            )
+            sel1, tot1 = _selected_buckets(
+                spark.table(table).filter(F.col("list_id").isin(probe_one))
+            )
+        # full-probe scan: pruning applied and bounded by the probed
+        # lists (not strict-<: probe coverage of all 16 lists is
+        # legitimate here); single-query scan: STRICTLY below the
+        # total, so this gate goes red if pruning is off
         pruned_ok = (
-            bool(m)
-            and int(m.group(1)) <= len(probe_lists)
-            and int(m.group(2)) == n_buckets
+            sel is not None
+            and sel <= len(probe_lists)
+            and tot == n_buckets
+            and sel1 is not None
+            and sel1 <= len(probe_one)
+            and sel1 < tot1
+            and tot1 == n_buckets
         )
 
         ivf = ivf_topk_bucketed(
@@ -1033,6 +1063,10 @@ def q_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
+        # ivf_topk_bucketed returns its (bounded) result persisted —
+        # the verdict is collected, so release the cache before the
+        # scratch table drops
+        ivf.unpersist()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     return spark.createDataFrame(

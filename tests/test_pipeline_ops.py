@@ -497,6 +497,45 @@ def test_ivf_topk_recall(emb):
     assert hits / total >= 0.5, hits / total  # random 64-d data, 3/8 lists probed
 
 
+def test_ivf_centroids_distributed_matches_driver_quality(emb):
+    """The distributed Lloyd trainer (the path past the driver-side
+    20 k-sample cap) must (a) be deterministic for a fixed corpus and
+    partition layout, (b) produce a quantizer at least as good as the
+    driver-sample trainer, measured by mean best-centroid similarity
+    over the corpus, and (c) partition the corpus without collapse."""
+    rows = emb.orderBy("vec_id").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    Cd = similarity.ivf_centroids_distributed(
+        emb, "embedding", n_lists=8, seed=5, order_col="vec_id",
+        init_sample_rows=8192,
+    )
+    assert Cd.shape == (8, X.shape[1])
+    assert np.allclose(np.linalg.norm(Cd, axis=1), 1.0)
+    # deterministic re-run
+    Cd2 = similarity.ivf_centroids_distributed(
+        emb, "embedding", n_lists=8, seed=5, order_col="vec_id",
+        init_sample_rows=8192,
+    )
+    assert np.array_equal(Cd, Cd2)
+    # quantizer quality: distributed (full-corpus passes) should not be
+    # worse than the driver sample trainer beyond noise
+    Cs = similarity.ivf_centroids(emb, "embedding", n_lists=8, seed=5)
+    q_dist = np.max(Xn @ Cd.T, axis=1).mean()
+    q_drv = np.max(Xn @ Cs.T, axis=1).mean()
+    assert q_dist >= q_drv - 0.02, (q_dist, q_drv)
+    # no degenerate collapse
+    assigned = similarity.ivf_assign(emb, "vec_id", "embedding", Cd)
+    assert assigned.select("list_id").distinct().count() >= 6
+    # mini-batch path: still deterministic and sane
+    Cm = similarity.ivf_centroids_distributed(
+        emb, "embedding", n_lists=8, seed=5, order_col="vec_id",
+        init_sample_rows=8192, sample_fraction=0.5, iters=4,
+    )
+    assert Cm.shape == (8, X.shape[1]) and np.all(np.isfinite(Cm))
+
+
 def test_ivf_assign_partitions_corpus(emb):
     C = similarity.ivf_centroids(emb, "embedding", n_lists=8, seed=5)
     assigned = similarity.ivf_assign(emb, "vec_id", "embedding", C)

@@ -161,3 +161,57 @@ def test_ivf_bucketed_index_prunes_and_matches(spark):
         assert g == w and len(g) == 5 * len(queries)
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
+
+
+def test_ivf_bucketed_prunes_on_vanilla_session(spark):
+    """The r4/r5 driver flip, pinned as a regression: a session that
+    carries the VANILLA ``autoBucketedScan.enabled=true`` (the driver
+    builds its own session, not ``get_spark``) lets Spark's
+    DisableUnnecessaryBucketedScan rule drop the bucketed scan for the
+    probe shape — bucket pruning silently disappears.  The library must
+    make pruning session-independent: ``bucket_pruning_enforced``
+    restores it, ``ivf_topk_bucketed`` executes under it, and the full
+    ``q_ann_ivf_bucketed`` gate must be all-green on such a session."""
+    from tdigest_spark import similarity as sim
+    from tdigest_spark.suite import q_ann_ivf_bucketed
+
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    ns = spark.newSession()
+    ns.conf.set(conf_key, "true")  # the vanilla default
+    emb = ns.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = sim.ivf_centroids(corpus, "embedding", n_lists=8, order_col="vec_id")
+
+    ns.sql("DROP TABLE IF EXISTS ivf_vanilla_test")
+    shutil.rmtree("spark-warehouse/ivf_vanilla_test", ignore_errors=True)
+    try:
+        sim.ivf_write_index(
+            corpus, "vec_id", "embedding", cents, "ivf_vanilla_test", n_buckets=8
+        )
+        def scan():
+            # a fresh Dataset each time: explain memoizes the physical
+            # plan on the Dataset, so re-explaining one built before
+            # the conf change would show the stale plan
+            return ns.table("ivf_vanilla_test").filter(
+                F.col("list_id").isin([0, 1])
+            )
+
+        # vanilla condition reproduced: no bucketed scan, no pruning
+        assert "SelectedBucketsCount" not in _plan(scan())
+        # the library conf guard restores pruning on the SAME session...
+        with sim.bucket_pruning_enforced(ns):
+            pruned_plan = _plan(scan())
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of 8", pruned_plan)
+        # hash(0)/hash(1) may collide into one bucket — 1 or 2 selected
+        assert m and int(m.group(1)) <= 2
+        # ...and restores the caller's setting afterwards
+        assert ns.conf.get(conf_key) == "true"
+
+        # the driver-equivalent end-to-end check: the full gate on the
+        # vanilla session reports pruning AND recall green
+        row = q_ann_ivf_bucketed(ns, SF_SMALL).collect()[0]
+        assert row["pruned_ok"] and row["recall_ok"] and row["recall_hi"]
+    finally:
+        ns.sql("DROP TABLE IF EXISTS ivf_vanilla_test")
