@@ -245,13 +245,17 @@ def main() -> None:
     # low-core subprocess measurements don't share the box with an
     # idle 8 GB heap (adds 100-500 ms of noise to a ~1 s job)
     spark.stop()
-    readme = {}
-    try:
+
+    def _readme_pair() -> dict:
         import subprocess
 
+        pair: dict = {}
         # the ~1 s subprocess jobs are the bench's most load-sensitive
-        # numbers — let the pytest/oracle load tail drain first
-        readme["load1_at_start"] = round(_settle(), 1)
+        # numbers — let the pytest/oracle load tail drain first.  The
+        # round-5 record went through at load1=5.5 under the old
+        # max(4, cpus/4)=8 threshold and regressed every number
+        # 17-49%; hold the README pair to the SAME <=2 bar as the suite
+        pair["load1_at_start"] = round(_settle(target=2.0), 1)
         st0, tot0 = _read_steal()
         here = os.path.dirname(os.path.abspath(__file__))
         for cores in (1, 4):
@@ -263,7 +267,7 @@ def main() -> None:
                  "--cores", str(cores), "--runs", "5"],
                 capture_output=True, text=True, timeout=900, check=True,
             )
-            readme[f"local{cores}_ms"] = json.loads(
+            pair[f"local{cores}_ms"] = json.loads(
                 out.stdout.strip().splitlines()[-1]
             )["ms"]
         st1, tot1 = _read_steal()
@@ -271,7 +275,30 @@ def main() -> None:
             # interference provenance for the recorded numbers: steal%
             # of all vCPU time during the measurement window (multiply
             # by ~32/cores for the effective slowdown of the busy cores)
-            readme["steal_pct"] = round(100 * (st1 - st0) / (tot1 - tot0), 2)
+            pair["steal_pct"] = round(100 * (st1 - st0) / (tot1 - tot0), 2)
+        return pair
+
+    def _provenance(pair: dict) -> tuple:
+        # lower is better: co-tenant steal first, then box load
+        return (pair.get("steal_pct", 0.0), pair.get("load1_at_start", 0.0))
+
+    readme = {}
+    try:
+        readme = _readme_pair()
+        if (
+            readme.get("load1_at_start", 0.0) > 2.5
+            or readme.get("steal_pct", 0.0) > 1.0
+        ):
+            # the box was still hot (settle timed out) or a co-tenant
+            # stole CPU mid-measurement: re-run ONCE and keep the run
+            # with the better provenance, recording the other so the
+            # discarded number stays auditable
+            retry = _readme_pair()
+            if _provenance(retry) < _provenance(readme):
+                readme, discarded = retry, readme
+            else:
+                discarded = retry
+            readme["discarded_attempt"] = discarded
         readme["pg_1worker_ms"] = 2873.116
         readme["pg_4worker_ms"] = 893.538
         readme["vs_pg_1w"] = round(readme["local1_ms"] / 2873.116, 3)

@@ -176,12 +176,17 @@ def main() -> None:
         from tdigest_spark.dedup import remove_duplicate_ngrams
 
         t0 = time.time()
-        cleaned = remove_duplicate_ngrams(docs, "doc_id", "text", n=5)
+        handle: list = []
+        cleaned = remove_duplicate_ngrams(
+            docs, "doc_id", "text", n=5, persist_handle=handle
+        )
         stats = cleaned.agg(
             F.count("*").alias("n_docs_out"),
             F.sum("n_tokens").alias("tokens_in"),
             F.sum("n_removed").alias("tokens_removed"),
         ).collect()[0]
+        for h in handle:  # release the starts cache now, not at GC time
+            h.unpersist()
         t_sub = time.time() - t0
         out["substring_dedup"] = {
             "sec": round(t_sub, 1),

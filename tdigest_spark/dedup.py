@@ -473,6 +473,7 @@ def remove_duplicate_ngrams(
     n: int = 5,
     min_count: int = 2,
     result_col: str = "clean_text",
+    persist_handle: list | None = None,
 ) -> DataFrame:
     """Exact-substring dedup, REMOVAL half (Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" — the
@@ -535,13 +536,16 @@ def remove_duplicate_ngrams(
         .agg(F.collect_list("gpos").alias("__starts__"))
         # two consumers (the cut join and the untouched anti-join) —
         # persist so the gram shuffle+window runs once; tiny: one row
-        # per AFFECTED doc.  The cache lives until Spark's
-        # ContextCleaner sees the underlying RDD garbage-collected on
-        # the driver (i.e. when callers drop the returned DataFrame) —
-        # long-lived sessions calling this repeatedly should trigger
-        # collection or expect transient storage-memory use.
+        # per AFFECTED doc.  The result is LAZY, so the cache cannot be
+        # released here; pass ``persist_handle=[]`` and, once the
+        # returned frame is materialized, call ``.unpersist()`` on the
+        # appended frame — otherwise the blocks live until the driver's
+        # ContextCleaner sees the RDD garbage-collected (loops in a
+        # long-lived session accrue storage memory in the meantime).
         .persist()
     )
+    if persist_handle is not None:
+        persist_handle.append(starts)
 
     id_field = [f for f in df.schema.fields if f.name == id_col][0]
     out_schema = StructType(
@@ -555,6 +559,10 @@ def remove_duplicate_ngrams(
 
     def cut(batches):
         for pdf in batches:
+            if not len(pdf):
+                # an empty Arrow batch (possible on sparse partitions)
+                # would make np.concatenate([]) below raise
+                continue
             toks = pdf["__w__"]
             m = len(pdf)
             lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=m)

@@ -48,11 +48,27 @@ def write_bucketed(
     ``align=True`` (default) repartitions by the bucket columns first:
     without it every writer task emits one file PER BUCKET it sees —
     up to tasks × n_buckets small files (measured 2.5× slower scans at
-    64 tasks × 256 buckets) — while the aligned write produces exactly
-    ``n_buckets`` files (repartition and bucketBy share Spark's
-    Murmur3 column hash, so each task holds whole buckets)."""
+    64 tasks × 256 buckets).  The aligned write repartitions to the
+    smallest MULTIPLE of ``n_buckets`` that is >= the session's default
+    parallelism: repartition and bucketBy share Spark's Murmur3 column
+    hash, and ``h mod (m·n) == p`` implies ``h mod n == p mod n``, so
+    each write task still holds rows of exactly ONE bucket (``m`` files
+    per bucket, no small-file explosion) while write parallelism is no
+    longer capped at ``n_buckets`` — an 8-bucket index on a 32-core box
+    previously wrote with 8 tasks.  Caveat: a bucket column with fewer
+    DISTINCT values than write partitions still caps parallelism at the
+    distinct-value count (each value hashes to one partition), and one
+    giant bucket still writes from one task — inherent to bucketed
+    layouts, where every output file holds exactly one bucket; salting
+    the repartition would re-introduce the per-task×bucket file
+    explosion for high-cardinality keys."""
     if align:
-        df = df.repartition(n_buckets, *list(bucket_by))
+        try:
+            cores = df.sparkSession.sparkContext.defaultParallelism
+        except Exception:  # noqa: BLE001 — conservative fallback
+            cores = n_buckets
+        mult = max(1, -(-cores // n_buckets))  # ceil division
+        df = df.repartition(mult * n_buckets, *list(bucket_by))
     writer = df.write.mode(mode).bucketBy(n_buckets, *list(bucket_by))
     if sort_by:
         writer = writer.sortBy(*list(sort_by))

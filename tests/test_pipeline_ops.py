@@ -336,6 +336,30 @@ def test_remove_duplicate_ngrams(spark):
     assert len(got) == 5
 
 
+def test_remove_duplicate_ngrams_releases_cache(spark):
+    """Looped calls with ``persist_handle`` must not accrue storage:
+    the internal starts cache is released by the caller after
+    materialization, so persistent-RDD count returns to baseline
+    (without the handle it only drops when driver GC happens to run)."""
+    rows = [
+        (1, "shared shared shared shared shared tail one two three"),
+        (2, "shared shared shared shared shared other four five six"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()
+    for _ in range(10):
+        handle: list = []
+        out = dedup.remove_duplicate_ngrams(
+            df, "doc_id", "text", n=5, persist_handle=handle
+        ).collect()
+        assert len(out) == 2
+        assert handle, "persist_handle not populated"
+        for h in handle:
+            h.unpersist(blocking=True)
+    assert jsc.getPersistentRDDs().size() <= baseline
+
+
 def test_winnow_batch_matches_reference():
     """The chunked cross-document batch winnowing must reproduce the
     per-document reference exactly — including empty docs, docs shorter
