@@ -97,11 +97,14 @@ def ensure_corpus(spark, n_vecs: int) -> str:
 def main() -> None:
     n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    n_lists = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    trainer = sys.argv[4] if len(sys.argv) > 4 else "driver"
 
     from tdigest_spark.spark.session import get_spark, warm_workers
     from tdigest_spark.similarity import (
         cosine_topk,
         ivf_centroids,
+        ivf_centroids_distributed,
         ivf_probe_lists,
         ivf_topk_bucketed,
         ivf_write_index,
@@ -110,7 +113,10 @@ def main() -> None:
     spark = get_spark("ann-bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     warm_workers(spark)
-    out: dict = {"n_vecs": n_vecs, "dim": DIM, "cpus": cpus}
+    out: dict = {
+        "n_vecs": n_vecs, "dim": DIM, "cpus": cpus,
+        "n_lists": n_lists, "trainer": trainer,
+    }
 
     path = ensure_corpus(spark, n_vecs)
     emb = spark.read.parquet(path)
@@ -120,16 +126,29 @@ def main() -> None:
     queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
 
-    n_lists = 256
-    n_probe = 16
-    table = f"ann_bench_ivf_{n_vecs}"
+    # n_probe scales with n_lists to hold the scanned fraction at
+    # 16/256 = 1/16 of the corpus, so recall is comparable across
+    # n_lists settings
+    n_probe = max(4, n_lists // 16)
+    table = f"ann_bench_ivf_{n_vecs}_{n_lists}"
 
     # ---- index build (centroid training + assignment + bucketed write)
     t0 = time.time()
-    cents = ivf_centroids(
-        corpus, "embedding", n_lists=n_lists, sample_rows=20_000,
-        order_col="vec_id",
-    )
+    if trainer == "distributed":
+        # the path past the driver-sample cap: seeded init on a bounded
+        # sample, Lloyd iterations as full distributed passes (mini-
+        # batched at 30% per iteration to bound scan cost)
+        cents = ivf_centroids_distributed(
+            corpus, "embedding", n_lists=n_lists, order_col="vec_id",
+            iters=6, sample_fraction=0.3,
+        )
+    else:
+        cents = ivf_centroids(
+            corpus, "embedding", n_lists=n_lists, sample_rows=20_000,
+            order_col="vec_id",
+        )
+    t_train = time.time() - t0
+    out["centroid_train_sec"] = round(t_train, 1)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     ivf_write_index(
         corpus, "vec_id", "embedding", cents, table, n_buckets=n_lists
