@@ -141,3 +141,123 @@ def test_cast_out_double_array_parity():
         ]
         want = [str(Decimal(v).quantize(q)) for v in golden]
         assert got == want, g["compression"]
+
+
+# ----------------------------------------------------------------------
+# incremental.out / copy.out — protocol fixtures.  Unlike conversions/
+# cast these golden files carry NO literal digest strings (their
+# expected outputs are equality verdicts over md5-ordered / random
+# inputs), so what they pin is the PROTOCOL: incremental no-compact
+# accumulation + one forced compaction must equal the batch build
+# textually, and COPY text/binary round-trips must be byte-stable.
+# The md5(i::text) feeding order is recomputed here exactly, so the
+# incremental scenarios run the reference's own input sequences.
+# Parity: incremental.sql:36-81 via incremental.out:30-87 (three DO
+# loops: scalar / array / digest union), copy.sql via copy.out:22-35
+# (COPY text + FORMAT BINARY, 200 rows, 0 mismatches).
+# ----------------------------------------------------------------------
+
+import hashlib
+
+import numpy as np
+
+from tdigest_spark.spark.functions import union_pair_bytes
+
+_NO_COMPACT = 1 << 62
+
+
+def _md5_order(n: int = 1000) -> list[int]:
+    """generate_series(1,n) ORDER BY md5(i::text) — PG's md5() is the
+    lowercase hex digest of the decimal text, bit-reproducible here."""
+    return sorted(range(1, n + 1), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+
+
+def _force_compact_text(d: TDigest) -> str:
+    """tdigest(d) / tdigest_union(NULL, d) — the reference's documented
+    force-compaction idiom closing each incremental loop."""
+    return TDigest.from_bytes(
+        union_pair_bytes(None, d.to_bytes(compact=False))
+    ).to_string()
+
+
+def test_incremental_out_scalar_equals_batch():
+    """incremental.out:30-49 — 1000 values fed ONE AT A TIME in
+    md5(i::text) order with compact=false, then a single forced
+    compaction, must print the same text as the one-shot batch build
+    over the same sequence."""
+    order = _md5_order()
+    incr = TDigest(100)
+    for i in order:
+        incr.add_values([float(i)], compact_threshold=_NO_COMPACT)
+    batch = TDigest(100)
+    batch.add_values(np.array(order, dtype=np.float64))
+    assert _force_compact_text(incr) == TDigest.from_bytes(batch.to_bytes()).to_string()
+
+
+def test_incremental_out_array_equals_batch():
+    """incremental.out:51-66 — bulk adds of 5 arrays grouped by
+    mod(i,5), md5-ordered WITHIN each group, vs the batch build over
+    the same groups in ascending-i order: the no-compact accumulation
+    makes feeding order irrelevant (compaction sorts by mean), which is
+    exactly what the reference's 't' verdict asserts."""
+    groups: dict[int, list[int]] = {a: [] for a in range(5)}
+    for i in _md5_order():
+        groups[i % 5].append(i)
+    incr = TDigest(100)
+    for a in range(5):
+        incr.add_values(
+            np.array(groups[a], dtype=np.float64), compact_threshold=_NO_COMPACT
+        )
+    batch = TDigest(100)
+    batch.add_values(
+        np.array(
+            [i for a in range(5) for i in sorted(groups[a])], dtype=np.float64
+        )
+    )
+    assert _force_compact_text(incr) == TDigest.from_bytes(batch.to_bytes()).to_string()
+
+
+def test_incremental_out_digest_union_equals_union_agg():
+    """incremental.out:68-87 — per-group digests folded in one at a
+    time with tdigest_union(..., compact=false) + one final compaction
+    must equal the union AGGREGATE of the same digests (emulated with
+    the aggregate's add_centroids merge + final recompact)."""
+    groups: dict[int, list[int]] = {a: [] for a in range(5)}
+    for i in _md5_order():
+        groups[i % 5].append(i)
+    per_group = []
+    for a in range(5):
+        g = TDigest(100)
+        g.add_values(np.array(groups[a], dtype=np.float64))
+        per_group.append(g)
+    acc = None
+    for g in per_group:
+        acc = union_pair_bytes(acc, g.to_bytes(), compact=False)
+    incr_text = TDigest.from_bytes(union_pair_bytes(None, acc)).to_string()
+    agg = TDigest(100)
+    for g in per_group:
+        agg.add_centroids(*g.centroid_arrays(), compact_threshold=_NO_COMPACT)
+    agg.recompact()
+    assert incr_text == agg.to_string()
+
+
+def test_copy_out_text_and_binary_roundtrip_stability():
+    """copy.out:22-35 — 100 digests at random compressions in
+    [100, 1100), each over compression×10 uniform values (seeded here,
+    so the corpus is fixed), exported+imported through BOTH the text
+    format and the big-endian wire format: every re-import must print
+    text identical to its source, 0 mismatches in 200 comparisons."""
+    rng = np.random.RandomState(20260817)
+    mismatches = 0
+    for i in range(100):
+        compression = int(100 + rng.rand() * 1000)
+        d = TDigest(compression)
+        d.add_values(rng.rand(compression * 10))
+        src_text = d.to_string()
+        # COPY text: out -> in -> out
+        if TDigest.from_string(src_text).to_string() != src_text:
+            mismatches += 1
+        # COPY binary: send -> recv -> ::text
+        if TDigest.from_bytes(d.to_bytes()).to_string() != src_text:
+            mismatches += 1
+    assert mismatches == 0
