@@ -30,6 +30,7 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EVENTS = "/tmp/tdigest_stream/events"
 EVENTS_SORTED = "/tmp/tdigest_stream/events_sorted"
+EVENTS_ZIPF = "/tmp/tdigest_stream/events_zipf"
 N_FILES = 8
 N_KEYS = 256
 
@@ -231,6 +232,85 @@ for w, n in ex.items():
     assert abs(fin[w] - n) <= max(10, 0.05 * n), (w, fin[w], n)
 rows_seq = out["whll_evict_keyed_state_rows"]
 assert rows_seq and max(rows_seq) < 16 * 256, rows_seq  # evicting
+keyed_fin = {}
+for r in spark.sql(f"SELECT * FROM {qn}").collect():
+    k = (r["key"], r["window_start"])
+    keyed_fin[k] = max(keyed_fin.get(k, 0), r["estimate"])
+
+# --- KEYED windowed HLL via JVM micro-batch pre-reduction -----------
+# Same job as whll_evict_keyed, two-stage: stage 1 compacts each
+# micro-batch PURE-Catalyst (groupBy(key, window).collect_set(hash) in
+# foreachBatch -> staging parquet, no Python exchange at all); stage 2
+# folds the packed rows statefully (packed=True).  Rows crossing the
+# JVM->Python exchange drop from O(events) to O(groups x batches), so
+# the ~4-5M rows/s per-box exchange ceiling no longer binds.  Reported
+# time = stage1 + stage2 (sequential availableNow); estimates must be
+# IDENTICAL to the single-stage run's (same hash sets per window).
+from tdigest_spark.streaming.digest_stream import (
+    prereduce_windowed_hashes, read_packed_stream,
+)
+pr_times, pr1, pr2, pr_steals = [], [], [], []
+# stage 2's stateful stage sees O(groups) packed rows, not O(events):
+# its cost is DOMINATED by per-state-partition-per-micro-batch task
+# overhead (~80-190ms each — state-store load/commit + the Python
+# state-protocol handshake; an EMPTY batch measured 5.1s at 64
+# partitions vs 1.5s at 8), so (a) size the state stage well below
+# the 64-partition row-volume default (conf read at query start; each
+# trial's fresh checkpoint pins its own partition count) and (b) let
+# availableNow fold ALL staged batches in one trigger (no
+# maxFilesPerTrigger throttle — the backfill shape; per-window finals
+# are identical either way, asserted below)
+for t in range(trials):
+    stg = tempfile.mkdtemp(prefix="ssc_prereduce_stg_")
+    ck1 = tempfile.mkdtemp(prefix="ssc_prereduce_ck1_")
+    ck2 = tempfile.mkdtemp(prefix="ssc_prereduce_ck2_")
+    qn = f"whll_prereduced_{t}"
+    s0, tot0 = read_steal()
+    t0 = time.time()
+    q1 = prereduce_windowed_hashes(
+        replay(src_sorted).select("ts", "key", F.xxhash64("uid").alias("h")),
+        "ts", "h", "6 hours", stg + "/s", ck1, keys=["key"],
+        availableNow=True)
+    assert q1.awaitTermination(1800)
+    t1 = time.time()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q2 = (streaming_windowed_hll(
+            read_packed_stream(spark, stg + "/s"),
+            "window_start", "h", "6 hours", keys=["key"],
+            watermark_delay="1 hour", packed=True)
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("update").option("checkpointLocation", ck2)
+          .trigger(availableNow=True).start())
+    assert q2.awaitTermination(1800)
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    t2 = time.time()
+    pr_times.append(round(t2 - t0, 2))
+    pr1.append(round(t1 - t0, 2)); pr2.append(round(t2 - t1, 2))
+    s1, tot1 = read_steal()
+    pr_steals.append(round(100.0 * (s1 - s0) / max(1, tot1 - tot0), 2))
+    if t < trials - 1:
+        shutil.rmtree(stg, ignore_errors=True)
+    shutil.rmtree(ck1, ignore_errors=True)
+    shutil.rmtree(ck2, ignore_errors=True)
+best = min(pr_times)
+out["whll_prereduced_sec"] = best
+out["whll_prereduced_events_per_sec"] = int(n_total / best)
+out["whll_prereduced_times"] = pr_times
+out["whll_prereduced_stage1_times"] = pr1
+out["whll_prereduced_stage2_times"] = pr2
+out["whll_prereduced_steal_pct"] = pr_steals
+out["whll_prereduced_staged_rows"] = spark.read.parquet(stg + "/s/batch=*").count()
+out["whll_prereduced_speedup_vs_keyed"] = round(
+    out["whll_evict_keyed_sec"] / best, 2)
+pre_fin = {}
+for r in spark.sql(f"SELECT * FROM {qn}").collect():
+    k = (r["key"], r["window_start"])
+    pre_fin[k] = max(pre_fin.get(k, 0), r["estimate"])
+assert pre_fin == keyed_fin, (
+    "prereduced finals diverge from single-stage",
+    len(pre_fin), len(keyed_fin),
+    sum(pre_fin.values()), sum(keyed_fin.values()))
+shutil.rmtree(stg, ignore_errors=True)
 
 print(json.dumps(out))
 """
@@ -303,7 +383,7 @@ def ensure_events(n_rows: int) -> None:
     spark.stop()
 
 
-def ensure_events_sorted(n_rows: int) -> None:
+def ensure_events_sorted(n_rows: int, path: str = EVENTS_SORTED, zipf: bool = False) -> None:
     """Time-ordered variant for the eviction-active run: the same
     closed-form columns, but ts is monotone in the row id and the 8
     files carry ASCENDING mtimes in event-time order, so the
@@ -312,21 +392,32 @@ def ensure_events_sorted(n_rows: int) -> None:
     (range-partitioned by id, so each output file is a contiguous
     12-hour slice), then mtimes are imposed afterwards from each
     file's parquet ts statistics — 8 sequential single-writer jobs
-    measured minutes slower for the same bytes."""
+    measured minutes slower for the same bytes.
+
+    ``zipf=True`` swaps the uniform-cycle uid (which has ~NO repeats
+    within a (key, window) cell at bench scales — a (key, uid) pair
+    recurs only every lcm(256, 1M) = 4M ids) for a log-uniform draw
+    over [1, 1M] (Zipf-1 web repeat traffic, still a closed-form
+    function of the row id) — the duplication-heavy regime the
+    prereduce path exists for; written to ``EVENTS_ZIPF``."""
     import time as _time
 
-    if _cached(EVENTS_SORTED, n_rows):
+    if _cached(path, n_rows):
         return
     import shutil
 
     from pyspark.sql import functions as F
 
     spark = _gen_session("stream-scale-gen-sorted")
-    shutil.rmtree(EVENTS_SORTED, ignore_errors=True)
+    shutil.rmtree(path, ignore_errors=True)
     span = 4 * 86400
-    df = spark.range(n_rows).select(
-        F.col("id"), *_event_cols((F.col("id") * span / n_rows).cast("long"))
-    )
+    cols = _event_cols((F.col("id") * span / n_rows).cast("long"))
+    if zipf:
+        u = F.abs(F.xxhash64(F.col("id"), F.lit(7))) / float((1 << 63) - 1)
+        cols = cols[:-1] + [
+            F.floor(F.pow(F.lit(1_000_000.0), u)).cast("long").alias("uid")
+        ]
+    df = spark.range(n_rows).select(F.col("id"), *cols)
     # single-writer files default to ~128MB row groups, and splits
     # cannot be finer than a row group — 16MB groups keep the
     # replay's scan parallelism comparable to the unsorted corpus
@@ -335,7 +426,7 @@ def ensure_events_sorted(n_rows: int) -> None:
         .drop("id")
         .write.option("parquet.block.size", str(16 * 1024 * 1024))
         .mode("overwrite")
-        .parquet(EVENTS_SORTED)
+        .parquet(path)
     )
     spark.stop()
     # impose replay order: FileStreamSource processes files by mtime;
@@ -344,8 +435,8 @@ def ensure_events_sorted(n_rows: int) -> None:
     import pyarrow.parquet as pq
 
     parts = [
-        os.path.join(EVENTS_SORTED, f)
-        for f in os.listdir(EVENTS_SORTED)
+        os.path.join(path, f)
+        for f in os.listdir(path)
         if f.endswith(".parquet")
     ]
     def min_ts(p):
@@ -360,7 +451,7 @@ def ensure_events_sorted(n_rows: int) -> None:
     now = _time.time()
     for i, p in enumerate(parts):
         os.utime(p, (now + i, now + i))  # 1s apart, oldest slice first
-    _stamp(EVENTS_SORTED, n_rows)
+    _stamp(path, n_rows)
 
 
 def main() -> None:

@@ -31,6 +31,13 @@ from pyspark.sql.types import (
 
 from tdigest_spark.kernel.tdigest import TDigest
 
+# ObjectHashAggregate (collect_set/collect_list partials) falls back to
+# a sort-based aggregate once a task sees more than this many groups
+# (default 128) — far below a web stream's live (key, window) cells per
+# task; the prereduce compaction raises it so the map-side pack stays
+# hash-based (see prereduce_windowed_hashes)
+_OBJ_AGG_THRESHOLD = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+
 
 def _resolve_session_tz(tz: str):
     """Resolve a Spark session-timezone string to a tzinfo.
@@ -580,6 +587,15 @@ def _streaming_windowed_sketch(
     from pyspark.sql.types import TimestampType
 
     keys = list(keys)
+    if ts_col == "window_start":
+        # the packed staging format streams a pre-truncated column
+        # already NAMED window_start; replacing it via withColumn below
+        # would project away the watermark-tagged attribute and
+        # event-time timeout then fails plan analysis ("watermark must
+        # be specified") — keep the tagged original under an internal
+        # name so it survives into the stateful operator's child plan
+        stream_df = stream_df.withColumnRenamed("window_start", "_event_ts")
+        ts_col = "_event_ts"
     win = stream_df.withWatermark(ts_col, watermark_delay).withColumn(
         "window_start", F.window(F.col(ts_col), window_duration)["start"]
     )
@@ -667,17 +683,31 @@ def streaming_windowed_tdigest(
     compression: int = 100,
     watermark_delay: str = "2 hours",
     digest_col: str = "digest",
+    packed: bool = False,
 ) -> DataFrame:
     """Tumbling event-time windowed digests with late-data handling
     (shared plumbing: ``_streaming_windowed_sketch``).  Emits
-    (keys..., window_start, digest, count) updates per batch."""
+    (keys..., window_start, digest, count) updates per batch.
+
+    ``packed=True`` consumes the ``prereduce_windowed_values`` staging
+    format (``value_col`` an ``array<double>``, ``ts_col`` the
+    pre-truncated ``window_start``): counts match the unpacked path
+    exactly; centroid layout (and so percentile estimates) stays inside
+    the same q(1-q)/compression band but is not bit-identical, since
+    t-digest merge-compression depends on ingest order."""
 
     def load(blob):
         return TDigest.from_bytes(blob) if blob is not None else TDigest(compression)
 
     def fold(d, pdf):
         before = d.count
-        d.add_values(pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan))
+        if packed:
+            vals = _packed_hashes(pdf[value_col], dtype=np.float64)
+            if vals is None:
+                return False
+        else:
+            vals = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        d.add_values(vals)
         return d.count > before
 
     def result(d):
@@ -700,6 +730,227 @@ def streaming_windowed_tdigest(
     )
 
 
+def prereduce_windowed_hashes(
+    stream_df: DataFrame,
+    ts_col: str,
+    hash_col: str,
+    window_duration: str,
+    staging_dir: str,
+    checkpoint_dir: str,
+    keys: Sequence[str] = (),
+    with_counts: bool = False,
+    out_partitions: int = 1,
+    query_name: str = "prereduce_windowed_hashes",
+    **trigger,
+):
+    """JVM-side micro-batch pre-reduction for the windowed streaming
+    sketches — the stage that lifts the per-box ~4-5M rows/s
+    JVM→Python Arrow-exchange ceiling (BENCH.md): Spark forbids a
+    streaming aggregation upstream of ``applyInPandasWithState`` in one
+    plan, so the pre-reduction runs as its own query.  Each micro-batch
+    is compacted PURE-Catalyst — distinct (or per-hash counts when
+    ``with_counts``) then packed per ``(keys..., window_start)`` group
+    with ``collect_list`` — and written to ``staging_dir/batch=<id>``; no
+    row of the raw stream ever crosses a Python exchange.  The
+    downstream stateful query reads the staging stream (glob
+    ``staging_dir/batch=*``) and folds with ``packed=True`` in
+    ``streaming_windowed_hll`` / ``streaming_windowed_countmin`` /
+    ``streaming_windowed_topk`` (the ``with_counts`` pack accepts any
+    orderable item type, so it doubles as the top-k item staging; see
+    ``prereduce_windowed_values`` for the value-shaped t-digest/KLL
+    folds): rows crossing the exchange drop from O(events) to
+    O(groups x batches), so the exchange overhead amortizes across
+    each row's packed array.
+
+    Exactly-once: a replayed micro-batch (failure/restart) re-derives
+    the SAME compaction (file-source WAL pins the batch's files) and
+    ``mode("overwrite")`` on its ``batch=<id>`` dir makes the re-write
+    idempotent — safe for count-sensitive sketches, not just the
+    duplication-insensitive HLL.  NULL hashes are dropped by
+    ``collect_set``/``groupBy`` (the unpacked fold instead REJECTS a
+    nullable hash column — keep the upstream non-null contract).
+
+    Returns the started ``StreamingQuery``.  ``trigger`` kwargs pass
+    through (e.g. ``availableNow=True``, ``processingTime="10
+    seconds"``); ``out_partitions`` bounds the per-batch staging file
+    count (compacted output is small — one row per live group)."""
+    from pyspark.sql import functions as F
+
+    keys = list(keys)
+
+    def compact(bdf, batch_id):
+        # both branches pack with an ObjectHashAggregate partial; keep
+        # it hash-based past the 128-group default fallback
+        # (bdf.sparkSession is the streaming query's cloned session, so
+        # the conf change cannot leak to other queries)
+        bdf.sparkSession.conf.set(_OBJ_AGG_THRESHOLD, "16384")
+        win = bdf.select(
+            *keys,
+            F.window(F.col(ts_col), window_duration)["start"].alias(
+                "window_start"
+            ),
+            F.col(hash_col).alias("_h"),
+        )
+        if with_counts:
+            # count-sensitive staging: per-item exact counts need a
+            # row-level count shuffle before the pack.  The pack is
+            # sorted (sort_array over (item, count) structs, then field
+            # extraction — pure Catalyst) so the staged bytes are
+            # independent of partition/batch traversal order:
+            # count-min doesn't care, but the SpaceSaving top-k fold's
+            # evictions are order-sensitive past m distinct items and
+            # the repo's determinism contract covers it
+            out = (
+                win.groupBy(*keys, "window_start", "_h")
+                .agg(F.count("*").alias("_c"))
+                .groupBy(*keys, "window_start")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(F.struct("_h", "_c"))
+                    ).alias("_p")
+                )
+                .select(
+                    *keys,
+                    "window_start",
+                    F.col("_p._h").alias(hash_col),
+                    F.col("_p._c").alias(f"{hash_col}_counts"),
+                )
+            )
+        else:
+            # ONE collect_set, not distinct-then-pack: the partial
+            # ObjectHashAggregate dedups AND packs map-side, so the
+            # shuffle carries one fat array row per (task x group)
+            # instead of a record per distinct hash — measured 5.6s vs
+            # 7.5s over a 32M-row batch set
+            out = win.groupBy(*keys, "window_start").agg(
+                F.collect_set("_h").alias(hash_col)
+            )
+        # repartition, NOT coalesce: coalesce(1) would propagate into
+        # the post-shuffle stage and run the pack aggregation itself
+        # single-task (measured 8.5s/batch at 32M events); repartition
+        # keeps the agg at full width and only exchanges the packed
+        # rows (O(groups) fat rows) down to the write parallelism
+        out.repartition(out_partitions).write.mode("overwrite").parquet(
+            f"{staging_dir}/batch={batch_id}"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(compact)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def read_packed_stream(spark, staging_dir: str, max_files_per_trigger=None):
+    """Stream reader for a ``prereduce_windowed_hashes`` staging dir.
+    The glob treats each ``batch=<id>`` dir as a plain directory (no
+    partition-column inference), and the schema is taken from the
+    already-written files — so at least one staged batch must exist
+    (always true for the sequential availableNow pattern; for a
+    concurrent pipeline, stage 1's first batch gates stage 2 startup)."""
+    schema = spark.read.parquet(f"{staging_dir}/batch=*").schema
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return r.parquet(f"{staging_dir}/batch=*")
+
+
+def _packed_hashes(col, dtype=np.int64) -> np.ndarray | None:
+    """Concatenate a pandas series of ARRAYS (the prereduce staging
+    formats) into one vector of ``dtype`` (None keeps Arrow's element
+    type — used for string items), or None if the batch carries
+    nothing.  Arrow delivers list<T> as an object series of ndarrays,
+    so this is a bulk concatenate — no per-element Python."""
+    arrs = [
+        np.asarray(a) if dtype is None else np.asarray(a, dtype=dtype)
+        for a in col
+        if a is not None and len(a)
+    ]
+    if not arrs:
+        return None
+    return np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
+
+
+def _packed_pairs(icol, ccol):
+    """Aligned concatenation of a (items array, counts array) column
+    pair from the ``with_counts`` staging format — one mask decides for
+    BOTH columns so a row skipped on one side can never shift the
+    pairing."""
+    items, counts = [], []
+    for a, c in zip(icol, ccol):
+        if a is not None and len(a):
+            items.append(np.asarray(a))
+            counts.append(np.asarray(c, dtype=np.int64))
+    if not items:
+        return None, None
+    if len(items) == 1:
+        return items[0], counts[0]
+    return np.concatenate(items), np.concatenate(counts)
+
+
+def prereduce_windowed_values(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window_duration: str,
+    staging_dir: str,
+    checkpoint_dir: str,
+    keys: Sequence[str] = (),
+    out_partitions: int = 1,
+    query_name: str = "prereduce_windowed_values",
+    **trigger,
+):
+    """Pack-only micro-batch pre-reduction for the VALUE-shaped
+    windowed folds (``streaming_windowed_tdigest`` /
+    ``streaming_windowed_kll`` with ``packed=True``): quantile sketches
+    are count-sensitive, so unlike ``prereduce_windowed_hashes`` no
+    dedup is possible — each micro-batch's values are packed verbatim
+    into one ``array<double>`` row per ``(keys..., window_start)``
+    group, pure Catalyst.  The shuffle still carries every value, but
+    the O(events) per-row JVM→Python exchange term (the measured
+    per-box stateful ceiling, BENCH.md) collapses to O(groups ×
+    batches) fat rows.  ``sort_array`` makes the staged arrays — and so
+    the downstream deterministic-compactor folds — independent of
+    partition/batch traversal order (NULLs sort first and are dropped
+    by ``collect_list`` anyway; NaNs sort last and are dropped by the
+    folds, matching the unpacked path's NaN/NULL semantics).
+
+    Same exactly-once contract as ``prereduce_windowed_hashes``:
+    per-``batch=<id>`` overwrite makes replays idempotent."""
+    from pyspark.sql import functions as F
+
+    keys = list(keys)
+
+    def compact(bdf, batch_id):
+        bdf.sparkSession.conf.set(_OBJ_AGG_THRESHOLD, "16384")
+        out = (
+            bdf.select(
+                *keys,
+                F.window(F.col(ts_col), window_duration)["start"].alias(
+                    "window_start"
+                ),
+                F.col(value_col).cast("double").alias("_v"),
+            )
+            .groupBy(*keys, "window_start")
+            .agg(F.sort_array(F.collect_list("_v")).alias(value_col))
+        )
+        out.repartition(out_partitions).write.mode("overwrite").parquet(
+            f"{staging_dir}/batch={batch_id}"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(compact)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def streaming_windowed_hll(
     stream_df: DataFrame,
     ts_col: str,
@@ -709,6 +960,7 @@ def streaming_windowed_hll(
     p: int = 14,
     watermark_delay: str = "2 hours",
     result_col: str = "hll",
+    packed: bool = False,
 ) -> DataFrame:
     """Tumbling event-time windowed HLL distinct counts (e.g. unique
     URLs per source per hour in a crawl stream) — the state-EXPIRING
@@ -717,7 +969,17 @@ def streaming_windowed_hll(
     space cannot grow state without bound.  ``hash_col`` must be a
     NON-NULL int64 hash column (``xxhash64(col)`` upstream, same family
     as the batch engine, so emitted sketches merge with batch-built
-    ones).  Emits (keys..., window_start, hll binary, estimate long)."""
+    ones).  Emits (keys..., window_start, hll binary, estimate long).
+
+    ``packed=True`` accepts the ``prereduce_windowed_hashes`` staging
+    format instead: ``hash_col`` is an ``array<long>`` column and
+    ``ts_col`` the pre-truncated ``window_start`` — a handful of fat
+    rows per group per batch instead of one row per event, so the
+    per-row JVM→Python exchange overhead (the measured per-box ceiling
+    of the stateful forms, BENCH.md) amortizes across thousands of
+    hashes.  HLL register updates are duplication- and
+    order-insensitive, so estimates are IDENTICAL to the unpacked
+    path's."""
     from tdigest_spark.kernel.hll import HLL
 
     def load(blob):
@@ -727,6 +989,12 @@ def streaming_windowed_hll(
         col = pdf[hash_col]
         if col.empty:
             return False
+        if packed:
+            hashes = _packed_hashes(col)
+            if hashes is None:
+                return False
+            h.add_hashes(hashes)
+            return True
         if col.dtype != np.int64:
             # a NULL in the batch coerces the series to float64,
             # rounding 63-bit hashes before this code runs
@@ -768,6 +1036,7 @@ def streaming_windowed_countmin(
     depth: int = 5,
     watermark_delay: str = "2 hours",
     result_col: str = "countmin",
+    packed: bool = False,
 ) -> DataFrame:
     """Tumbling event-time windowed count-min frequency sketches — the
     state-EXPIRING form of ``streaming_countmin`` (shared plumbing:
@@ -775,8 +1044,19 @@ def streaming_windowed_countmin(
     estimates over an unbounded key/time space.  Same non-null int64
     ``hash_col`` contract and wire format as the batch engine, so a
     window's sketch merges with batch-built ones.  Emits
-    (keys..., window_start, countmin binary, total long)."""
+    (keys..., window_start, countmin binary, total long).
+
+    ``packed=True`` consumes the ``prereduce_windowed_hashes(...,
+    with_counts=True)`` staging format — ``hash_col`` an
+    ``array<long>`` plus a ``{hash_col}_counts`` sibling column and
+    ``ts_col`` the pre-truncated ``window_start``.  Count-min is
+    count-SENSITIVE, so the counts column is mandatory and the staging
+    write must be idempotent (which ``prereduce_windowed_hashes``'s
+    per-batch overwrite guarantees); totals then match the unpacked
+    path exactly."""
     from tdigest_spark.kernel.countmin import CountMin
+
+    counts_col = f"{hash_col}_counts"
 
     def load(blob):
         return CountMin.from_bytes(blob) if blob is not None else CountMin(width, depth)
@@ -785,6 +1065,13 @@ def streaming_windowed_countmin(
         col = pdf[hash_col]
         if col.empty:
             return False
+        if packed:
+            hashes = _packed_hashes(col)
+            if hashes is None:
+                return False
+            counts = _packed_hashes(pdf[counts_col])
+            cm.add_hashes(hashes, counts)
+            return True
         if col.dtype != np.int64:
             # a NULL in the batch coerces the series to float64,
             # rounding 63-bit hashes before this code runs
@@ -825,19 +1112,33 @@ def streaming_windowed_kll(
     k: int = 200,
     watermark_delay: str = "2 hours",
     result_col: str = "kll",
+    packed: bool = False,
 ) -> DataFrame:
     """Tumbling event-time windowed KLL quantile sketches — the
     state-EXPIRING form of ``streaming_kll`` (shared plumbing:
     ``_streaming_windowed_sketch``).  NaN/NULL values are dropped like
     the batch engine; per-window sketches share the batch ``kll_sketch``
-    wire format.  Emits (keys..., window_start, kll binary, n long)."""
+    wire format.  Emits (keys..., window_start, kll binary, n long).
+
+    ``packed=True`` consumes the ``prereduce_windowed_values`` staging
+    format (``value_col`` an ``array<double>``, ``ts_col`` the
+    pre-truncated ``window_start``).  KLL folds are count-exact (``n``
+    matches the unpacked path exactly); quantile estimates stay inside
+    the same rank-error envelope but are not bit-identical — the packed
+    ingest order is the staging's sorted order, and KLL's deterministic
+    compaction depends on ingest order (kll.py:7-12)."""
     from tdigest_spark.kernel.kll import KLL
 
     def load(blob):
         return KLL.from_bytes(blob) if blob is not None else KLL(k)
 
     def fold(s, pdf):
-        vals = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        if packed:
+            vals = _packed_hashes(pdf[value_col], dtype=np.float64)
+            if vals is None:
+                return False
+        else:
+            vals = pdf[value_col].to_numpy(dtype=np.float64, na_value=np.nan)
         vals = vals[~np.isnan(vals)]
         if not vals.size:
             return False
@@ -873,6 +1174,7 @@ def streaming_windowed_topk(
     m: int = 256,
     watermark_delay: str = "2 hours",
     result_col: str = "topk",
+    packed: bool = False,
 ) -> DataFrame:
     """Tumbling event-time windowed SpaceSaving top-k — the
     state-EXPIRING form of ``streaming_topk`` (shared plumbing:
@@ -880,13 +1182,32 @@ def streaming_windowed_topk(
     identities, exact while distinct items per window stay ≤ m.  NULL
     items are dropped like the batch engine; per-window sketches share
     the batch ``topk_sketch`` wire format.  Emits
-    (keys..., window_start, topk binary, n long)."""
+    (keys..., window_start, topk binary, n long).
+
+    ``packed=True`` consumes the ``prereduce_windowed_hashes(...,
+    with_counts=True)`` staging format over the ITEM column
+    (``item_col`` an ``array<string>`` plus an ``{item_col}_counts``
+    sibling — the with_counts pack accepts any orderable item type, not
+    just hashes).  Totals and the ≤ m-distinct exactness domain match
+    the unpacked path; past m distinct items per (group, batch) the
+    eviction order differs (pre-aggregated counts arrive item-sorted),
+    but stays inside SpaceSaving's one-sided count guarantee — and the
+    sorted staging makes it deterministic, which the row-order unpacked
+    path is not."""
     from tdigest_spark.kernel.topk import SpaceSaving
+
+    counts_col = f"{item_col}_counts"
 
     def load(blob):
         return SpaceSaving.from_bytes(blob) if blob is not None else SpaceSaving(m)
 
     def fold(s, pdf):
+        if packed:
+            items, counts = _packed_pairs(pdf[item_col], pdf[counts_col])
+            if items is None:
+                return False
+            s.add_items(items.tolist(), counts)
+            return True
         items = pdf[item_col].dropna()
         if not len(items):
             return False

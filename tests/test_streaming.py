@@ -720,3 +720,299 @@ def test_streaming_tdigest_combine_rejects_float_keys(spark, stream_dir):
     fs = stream.withColumn("fkey", F.rand())
     with pytest.raises(ValueError, match="float keys"):
         streaming_tdigest(fs, ["fkey"], "v", combine_partials=True)
+
+
+def test_prereduce_windowed_packed_matches_unpacked(spark, tmp_path_factory):
+    """JVM micro-batch pre-reduction (prereduce_windowed_hashes →
+    packed=True fold): the two-stage pipeline's per-(key, window) HLL
+    estimates and count-min totals must EQUAL the single-stage unpacked
+    path's — HLL because register updates are duplication/order
+    insensitive, count-min because the staging carries exact per-hash
+    counts.  Also regression-covers the ts_col=="window_start"
+    watermark collision (_streaming_windowed_sketch renames the tagged
+    column instead of projecting it away)."""
+    from tdigest_spark.streaming.digest_stream import (
+        prereduce_windowed_hashes,
+        read_packed_stream,
+        streaming_windowed_countmin,
+        streaming_windowed_hll,
+    )
+
+    src = str(tmp_path_factory.mktemp("prereduce_src"))
+    for i in range(3):
+        (
+            spark.range(i * 40000, (i + 1) * 40000)
+            .select(
+                (F.col("id") % 4).alias("key"),
+                F.timestamp_seconds(
+                    F.unix_timestamp(F.lit("2026-01-01 00:00:00"))
+                    + (F.col("id") * 7) % 172800
+                ).alias("ts"),
+                # dup-heavy: ~5k distinct hashes over 120k events
+                F.xxhash64((F.col("id") % 5000).cast("string")).alias("h"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    schema = spark.read.parquet(src).schema
+
+    def replay():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    def run(df, name):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option(
+                "checkpointLocation", str(tmp_path_factory.mktemp(f"ck_{name}"))
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), name
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    def finals(rows, col):
+        fin = {}
+        for r in rows:
+            k = (r["key"], r["window_start"])
+            fin[k] = max(fin.get(k, 0), r[col])
+        return fin
+
+    # stage 1: pure-Catalyst per-batch compaction (no Python exchange)
+    staging = str(tmp_path_factory.mktemp("prereduce_staging")) + "/hll"
+    q1 = prereduce_windowed_hashes(
+        replay(), "ts", "h", "6 hours", staging,
+        str(tmp_path_factory.mktemp("ck_stage1")), keys=["key"],
+        availableNow=True,
+    )
+    assert q1.awaitTermination(300)
+    staged = spark.read.parquet(f"{staging}/batch=*")
+    # the whole point: rows crossing the exchange collapse to
+    # O(groups × batches) — 4 keys × 8 windows × 3 batches = 96
+    assert staged.count() == 96
+
+    ref = finals(
+        run(
+            streaming_windowed_hll(
+                replay(), "ts", "h", "6 hours", keys=["key"],
+                watermark_delay="30 days",
+            ),
+            "pre_ref_hll",
+        ),
+        "estimate",
+    )
+    pk = finals(
+        run(
+            streaming_windowed_hll(
+                read_packed_stream(spark, staging, max_files_per_trigger=1),
+                "window_start", "h", "6 hours", keys=["key"],
+                watermark_delay="30 days", packed=True,
+            ),
+            "pre_pk_hll",
+        ),
+        "estimate",
+    )
+    assert ref == pk and len(ref) == 32
+
+    # count-sensitive form: staging carries exact per-hash counts
+    staging_cm = str(tmp_path_factory.mktemp("prereduce_staging")) + "/cm"
+    q2 = prereduce_windowed_hashes(
+        replay(), "ts", "h", "6 hours", staging_cm,
+        str(tmp_path_factory.mktemp("ck_stage1cm")), keys=["key"],
+        with_counts=True, availableNow=True,
+    )
+    assert q2.awaitTermination(300)
+    ref_cm = finals(
+        run(
+            streaming_windowed_countmin(
+                replay(), "ts", "h", "6 hours", keys=["key"],
+                watermark_delay="30 days",
+            ),
+            "pre_ref_cm",
+        ),
+        "total",
+    )
+    pk_cm = finals(
+        run(
+            streaming_windowed_countmin(
+                read_packed_stream(spark, staging_cm, max_files_per_trigger=1),
+                "window_start", "h", "6 hours", keys=["key"],
+                watermark_delay="30 days", packed=True,
+            ),
+            "pre_pk_cm",
+        ),
+        "total",
+    )
+    assert ref_cm == pk_cm and sum(pk_cm.values()) == 120000
+
+
+def test_prereduce_packed_values_and_topk(spark, tmp_path_factory):
+    """Packed folds for the remaining windowed sketch family:
+    ``prereduce_windowed_values`` → t-digest/KLL (count-exact,
+    quantiles in band — ingest order differs from row order by design)
+    and the ``with_counts`` item staging → SpaceSaving top-k (exact
+    while distinct ≤ m).  All compared against batch-exact ground
+    truth, not another sketch."""
+    from tdigest_spark.kernel.kll import KLL
+    from tdigest_spark.kernel.tdigest import TDigest
+    from tdigest_spark.kernel.topk import SpaceSaving
+    from tdigest_spark.streaming.digest_stream import (
+        prereduce_windowed_hashes,
+        prereduce_windowed_values,
+        read_packed_stream,
+        streaming_windowed_kll,
+        streaming_windowed_tdigest,
+        streaming_windowed_topk,
+    )
+
+    src = str(tmp_path_factory.mktemp("prv_src"))
+    for i in range(3):
+        (
+            spark.range(i * 30000, (i + 1) * 30000)
+            .select(
+                (F.col("id") % 2).alias("key"),
+                F.timestamp_seconds(
+                    F.unix_timestamp(F.lit("2026-01-01 00:00:00"))
+                    + (F.col("id") * 11) % 86400
+                ).alias("ts"),
+                (F.hash("id") % 10000).cast("double").alias("v"),
+                # 15 distinct items (sqrt-binned), skewed toward high j
+                F.concat(F.lit("item_"), (F.pow(F.col("id") % 200, 0.5)).cast("int").cast("string")).alias("item"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    schema = spark.read.parquet(src).schema
+    batch = spark.read.parquet(src).withColumn(
+        "window_start", F.window("ts", "6 hours")["start"]
+    )
+    cells = {
+        (r["key"], r["window_start"]): r
+        for r in batch.groupBy("key", "window_start")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("percentile(v, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    item_counts = {
+        (r["key"], r["window_start"], r["item"]): r["c"]
+        for r in batch.groupBy("key", "window_start", "item")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+
+    def replay():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    def run(df, name, mono):
+        """Final row per (key, window): update-mode memory sink holds
+        one row per batch-update, so keep the one with the largest
+        ``mono`` (count/n — monotone across a cell's updates; collect
+        order is not a contract)."""
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option(
+                "checkpointLocation", str(tmp_path_factory.mktemp(f"ck_{name}"))
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), name
+        rows = {}
+        for r in spark.sql(f"SELECT * FROM {name}").collect():
+            k = (r["key"], r["window_start"])
+            if k not in rows or r[mono] > rows[k][mono]:
+                rows[k] = r
+        return rows
+
+    # value staging feeds BOTH t-digest and KLL packed folds
+    stg_v = str(tmp_path_factory.mktemp("prv_stg")) + "/v"
+    q1 = prereduce_windowed_values(
+        replay(), "ts", "v", "6 hours", stg_v,
+        str(tmp_path_factory.mktemp("ck_v")), keys=["key"],
+        availableNow=True,
+    )
+    assert q1.awaitTermination(300)
+    # 2 keys x 4 windows x 3 batches
+    assert spark.read.parquet(f"{stg_v}/batch=*").count() == 24
+
+    cell_vals = {}
+    for r in batch.select("key", "window_start", "v").collect():
+        cell_vals.setdefault((r["key"], r["window_start"]), []).append(r["v"])
+    cell_vals = {k: np.sort(np.asarray(v)) for k, v in cell_vals.items()}
+
+    td = run(
+        streaming_windowed_tdigest(
+            read_packed_stream(spark, stg_v), "window_start", "v",
+            "6 hours", keys=["key"], watermark_delay="30 days",
+            packed=True,
+        ),
+        "prv_td",
+        "count",
+    )
+    assert set(td) == set(cells) and len(cells) == 8
+    for k, r in td.items():
+        assert r["count"] == cells[k]["n"]
+        d = TDigest.from_bytes(r["digest"])
+        # rank error at p50 well inside the c=100 band
+        rank = (cell_vals[k] <= d.quantiles([0.5])[0]).mean()
+        assert abs(rank - 0.5) < 0.02, (k, rank)
+
+    kll = run(
+        streaming_windowed_kll(
+            read_packed_stream(spark, stg_v), "window_start", "v",
+            "6 hours", keys=["key"], watermark_delay="30 days",
+            packed=True,
+        ),
+        "prv_kll",
+        "n",
+    )
+    assert set(kll) == set(cells)
+    for k, r in kll.items():
+        assert r["n"] == cells[k]["n"]
+        q50 = KLL.from_bytes(r["kll"]).quantiles([0.5])[0]
+        rank = (cell_vals[k] <= q50).mean()
+        assert abs(rank - 0.5) < 0.03, (k, rank)
+
+    # item staging (with_counts pack over a string column) -> top-k;
+    # 40 distinct items per cell << m=256, so counts are EXACT
+    stg_i = str(tmp_path_factory.mktemp("prv_stg")) + "/i"
+    q2 = prereduce_windowed_hashes(
+        replay(), "ts", "item", "6 hours", stg_i,
+        str(tmp_path_factory.mktemp("ck_i")), keys=["key"],
+        with_counts=True, availableNow=True,
+    )
+    assert q2.awaitTermination(300)
+    tk = run(
+        streaming_windowed_topk(
+            read_packed_stream(spark, stg_i), "window_start", "item",
+            "6 hours", keys=["key"], watermark_delay="30 days",
+            packed=True,
+        ),
+        "prv_tk",
+        "n",
+    )
+    assert set(tk) == set(cells)
+    total_items = 0
+    for k, r in tk.items():
+        s = SpaceSaving.from_bytes(r["topk"])
+        assert r["n"] == cells[k]["n"]
+        for item, cnt, err in s.top(100):
+            assert err == 0 and cnt == item_counts[(k[0], k[1], item)]
+            total_items += 1
+    assert total_items > 8 * 10  # every cell surfaced its hitters
