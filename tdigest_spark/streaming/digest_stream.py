@@ -793,7 +793,10 @@ def prereduce_windowed_hashes(
         )
         if with_counts:
             # count-sensitive staging: per-item exact counts need a
-            # row-level count shuffle before the pack.  The pack is
+            # row-level count shuffle before the pack.  NULL items are
+            # dropped explicitly (groupBy would keep a NULL group,
+            # where the distinct branch's collect_set and the unpacked
+            # folds' dropna both discard them).  The pack is
             # sorted (sort_array over (item, count) structs, then field
             # extraction — pure Catalyst) so the staged bytes are
             # independent of partition/batch traversal order:
@@ -801,7 +804,8 @@ def prereduce_windowed_hashes(
             # evictions are order-sensitive past m distinct items and
             # the repo's determinism contract covers it
             out = (
-                win.groupBy(*keys, "window_start", "_h")
+                win.filter(F.col("_h").isNotNull())
+                .groupBy(*keys, "window_start", "_h")
                 .agg(F.count("*").alias("_c"))
                 .groupBy(*keys, "window_start")
                 .agg(

@@ -1505,8 +1505,21 @@ def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py::test_streaming_windowed_hll_state_expires
     via the state store's numRowsTotal): per-day distinct event values
     across 3 replayed micro-batches must land the HLL p=14 band vs the
-    exact per-day distinct count."""
-    from tdigest_spark.streaming.digest_stream import streaming_windowed_hll
+    exact per-day distinct count.  ``pre_ok`` additionally replays the
+    same stream through the two-stage JVM pre-reduction
+    (``prereduce_windowed_hashes`` → ``packed=True`` fold — the path
+    that lifts the per-box O(events) Arrow-exchange term, BENCH.md)
+    and asserts its per-window finals are IDENTICAL to the single-stage
+    ones — HLL register updates are duplication/order insensitive, so
+    byte-equal estimates, not a band."""
+    import shutil
+    import tempfile
+
+    from tdigest_spark.streaming.digest_stream import (
+        prereduce_windowed_hashes,
+        read_packed_stream,
+        streaming_windowed_hll,
+    )
 
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -1526,9 +1539,39 @@ def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             k = r["window_start"]
             # estimates only grow within a window; keep the last/max
             final[k] = max(final.get(k, 0), r["estimate"])
+
+        # same stream through the two-stage pre-reduction: stage 1's
+        # pure-Catalyst per-batch compaction, stage 2's packed fold —
+        # finals must be byte-identical to the single-stage run's
+        stg = tempfile.mkdtemp(prefix="suite_whll_pre_")
+        try:
+            q1 = prereduce_windowed_hashes(
+                _replay_as_stream(spark, ev, "event_id", "suite_whll_src2_")
+                .select("ts", F.xxhash64("value").alias("h")),
+                "ts", "h", "1 day", stg + "/s", stg + "/ck1",
+                availableNow=True,
+            )
+            if not q1.awaitTermination(300):
+                q1.stop()
+                raise TimeoutError("prereduce stage did not finish in 300s")
+            pre = streaming_windowed_hll(
+                read_packed_stream(spark, stg + "/s"),
+                "window_start", "h", window_duration="1 day",
+                watermark_delay="720 hours", packed=True,
+            )
+            pre_final: dict = {}
+            for r in _run_stream_to_memory(spark, pre, "suite_whll_pre"):
+                k = r["window_start"]
+                pre_final[k] = max(pre_final.get(k, 0), r["estimate"])
+        finally:
+            shutil.rmtree(stg, ignore_errors=True)
+
         est = spark.createDataFrame(
-            [(k, int(v)) for k, v in sorted(final.items())],
-            ["day_ts", "nd_stream"],
+            [
+                (k, int(v), pre_final.get(k) == v and len(pre_final) == len(final))
+                for k, v in sorted(final.items())
+            ],
+            ["day_ts", "nd_stream", "pre_ok"],
         )
         exact = (
             ev.select(F.date_trunc("day", F.col("ts")).alias("day_ts"), "value")
@@ -1541,6 +1584,7 @@ def q_streaming_windowed_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(F.col("nd_stream") / F.col("nd_exact") - 1.0) < 0.05
             ).alias("ok"),
+            "pre_ok",
         )
         return checked.orderBy("day").localCheckpoint(eager=True)
     finally:
@@ -2464,7 +2508,8 @@ TDIGEST_ORACLES = {
     ),
     "streaming_windowed_hll": (
         "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,"
-        " COUNT(DISTINCT value) AS nd_exact, TRUE AS ok FROM events"
+        " COUNT(DISTINCT value) AS nd_exact, TRUE AS ok, TRUE AS pre_ok"
+        " FROM events"
         " WHERE value IS NOT NULL AND NOT isnan(value)"
         " GROUP BY 1 ORDER BY 1"
     ),

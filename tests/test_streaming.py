@@ -883,8 +883,16 @@ def test_prereduce_packed_values_and_topk(spark, tmp_path_factory):
                     + (F.col("id") * 11) % 86400
                 ).alias("ts"),
                 (F.hash("id") % 10000).cast("double").alias("v"),
-                # 15 distinct items (sqrt-binned), skewed toward high j
-                F.concat(F.lit("item_"), (F.pow(F.col("id") % 200, 0.5)).cast("int").cast("string")).alias("item"),
+                # 15 distinct items (sqrt-binned), skewed toward high
+                # j; every 97th row NULL — the staging must drop these
+                # exactly like the unpacked fold's dropna
+                F.when(
+                    F.col("id") % 97 != 0,
+                    F.concat(
+                        F.lit("item_"),
+                        (F.pow(F.col("id") % 200, 0.5)).cast("int").cast("string"),
+                    ),
+                ).alias("item"),
             )
             .coalesce(1)
             .write.mode("append")
@@ -899,13 +907,15 @@ def test_prereduce_packed_values_and_topk(spark, tmp_path_factory):
         for r in batch.groupBy("key", "window_start")
         .agg(
             F.count("*").alias("n"),
+            F.count("item").alias("n_item"),  # non-null items only
             F.expr("percentile(v, 0.5)").alias("p50"),
         )
         .collect()
     }
     item_counts = {
         (r["key"], r["window_start"], r["item"]): r["c"]
-        for r in batch.groupBy("key", "window_start", "item")
+        for r in batch.filter(F.col("item").isNotNull())
+        .groupBy("key", "window_start", "item")
         .agg(F.count("*").alias("c"))
         .collect()
     }
@@ -1011,7 +1021,7 @@ def test_prereduce_packed_values_and_topk(spark, tmp_path_factory):
     total_items = 0
     for k, r in tk.items():
         s = SpaceSaving.from_bytes(r["topk"])
-        assert r["n"] == cells[k]["n"]
+        assert r["n"] == cells[k]["n_item"]
         for item, cnt, err in s.top(100):
             assert err == 0 and cnt == item_counts[(k[0], k[1], item)]
             total_items += 1
