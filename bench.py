@@ -186,15 +186,39 @@ def main() -> None:
     for fn, _rows in qs.values():
         _run(fn)
 
-    timings: dict[str, float] = {}
-    total_rows = 0
-    total_time = 0.0
-    for name, (fn, rows) in qs.items():
-        reps = [_timed_rep(fn) for _ in range(3)]
-        dt = sorted(reps)[1]  # median of 3
-        timings[name] = round(dt, 4)
-        total_rows += rows
-        total_time += dt
+    total_rows = sum(rows for _fn, rows in qs.values())
+
+    def _suite_pass() -> tuple[dict, float, float]:
+        """One timed pass over the suite, with the co-tenant steal%
+        accrued DURING the pass — load1-at-start alone missed a
+        contended window where every query ran uniformly ~1.5-1.8×
+        slow at near-zero idle steal (steal only accrues when you try
+        to run; a pure-NumPy 32-way probe measured 7% steal and 0.22
+        parallel efficiency in that window)."""
+        st0, tot0 = _read_steal()
+        timings: dict[str, float] = {}
+        total_time = 0.0
+        for name, (fn, _rows) in qs.items():
+            reps = [_timed_rep(fn) for _ in range(3)]
+            dt = sorted(reps)[1]  # median of 3
+            timings[name] = round(dt, 4)
+            total_time += dt
+        st1, tot1 = _read_steal()
+        steal = round(100 * (st1 - st0) / max(1, tot1 - tot0), 2)
+        return timings, total_time, steal
+
+    timings, total_time, suite_steal = _suite_pass()
+    suite_discarded = None
+    if suite_steal > 1.0:
+        # contaminated pass: settle and re-run once, keep the
+        # better-provenance result, record the discarded one
+        _settle(target=2.0)
+        t2, tt2, s2 = _suite_pass()
+        if s2 < suite_steal:
+            suite_discarded = {"total": round(total_time, 4), "steal_pct": suite_steal}
+            timings, total_time, suite_steal = t2, tt2, s2
+        else:
+            suite_discarded = {"total": round(tt2, 4), "steal_pct": s2}
 
     # headline accuracy, aligned with the BASELINE metric
     from pyspark.sql import functions as F
@@ -315,6 +339,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
         "suite_load1_at_start": round(suite_load1, 1),
+        "suite_steal_pct": suite_steal,
+        **({"suite_discarded": suite_discarded} if suite_discarded else {}),
         "rows_per_sec": int(total_rows / total_time) if total_time > 0 else None,
         "p95_rel_rank_error": round(max_rank_err, 6),
         "flagship_docs_per_sec": int(n_rows / build_sec) if build_sec else None,
