@@ -559,6 +559,35 @@ def streaming_topk(
     )
 
 
+def _window_starts(ts_col: str, window_duration: str, slide_duration: str):
+    """Array-of-window-starts Column for a SLIDING event-time window:
+    every event belongs to ``duration/slide`` epoch-aligned windows
+    (half-open ``[start, start + duration)`` — the same grid and
+    inclusion rule as Spark's ``F.window(ts, duration, slide)`` with
+    the default startTime, verified by differential test).  Microsecond
+    arithmetic so sub-second timestamps assign exactly; ``floor``
+    division keeps pre-1970 timestamps on the same grid."""
+    from pyspark.sql import functions as F
+
+    w_us = int(pd.Timedelta(window_duration).total_seconds() * 1_000_000)
+    s_us = int(pd.Timedelta(slide_duration).total_seconds() * 1_000_000)
+    if s_us <= 0 or w_us % s_us != 0:
+        raise ValueError(
+            f"slide_duration {slide_duration!r} must evenly divide "
+            f"window_duration {window_duration!r}"
+        )
+    n = w_us // s_us
+    # all-long arithmetic: sequence() yields int32, and int32 × a
+    # microsecond slide overflows at i=3 for a 15-minute slide under
+    # ANSI mode
+    s_lit = F.lit(s_us).cast("long")
+    last = F.floor(F.unix_micros(F.col(ts_col)) / s_lit) * s_lit
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.timestamp_micros((last - i.cast("long") * s_lit).cast("long")),
+    )
+
+
 def _streaming_windowed_sketch(
     stream_df: DataFrame,
     ts_col: str,
@@ -569,14 +598,20 @@ def _streaming_windowed_sketch(
     load,
     fold,
     result,
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Shared tumbling event-time window plumbing for every windowed
-    streaming sketch (t-digest, HLL, ...): one sketch per
+    """Shared tumbling/sliding event-time window plumbing for every
+    windowed streaming sketch (t-digest, HLL, ...): one sketch per
     (keys..., window_start) in operator state, watermark-bounded late
     data, and event-time-timeout eviction of closed windows — so state
     size is O(active windows × groups), not stream length OR key-space
     size (the unwindowed ``streaming_*`` forms never expire state and
-    are only suitable for bounded key spaces).
+    are only suitable for bounded key spaces).  A ``slide_duration``
+    (must divide ``window_duration``) switches to sliding windows: each
+    event folds into duration/slide overlapping window sketches
+    (pure-Catalyst explode of the start array — no Python in the
+    assignment), and each window still evicts independently once the
+    watermark passes ITS end.
 
     ``load(blob | None) -> sketch`` builds/restores the per-window
     sketch; ``fold(sketch, pdf) -> bool`` folds one pandas batch in and
@@ -587,8 +622,9 @@ def _streaming_windowed_sketch(
     from pyspark.sql.types import TimestampType
 
     keys = list(keys)
-    if ts_col == "window_start":
-        # the packed staging format streams a pre-truncated column
+    pre_assigned = ts_col == "window_start"
+    if pre_assigned:
+        # the packed staging format streams a pre-assigned column
         # already NAMED window_start; replacing it via withColumn below
         # would project away the watermark-tagged attribute and
         # event-time timeout then fails plan analysis ("watermark must
@@ -596,9 +632,25 @@ def _streaming_windowed_sketch(
         # name so it survives into the stateful operator's child plan
         stream_df = stream_df.withColumnRenamed("window_start", "_event_ts")
         ts_col = "_event_ts"
-    win = stream_df.withWatermark(ts_col, watermark_delay).withColumn(
-        "window_start", F.window(F.col(ts_col), window_duration)["start"]
-    )
+    wm = stream_df.withWatermark(ts_col, watermark_delay)
+    if pre_assigned:
+        # staged window identities are used VERBATIM: re-windowing is
+        # idempotent for tumbling starts but would snap a slide-aligned
+        # start (e.g. 00:15 of a 1h/15min window) onto the wrong
+        # tumbling grid.  The copy must NOT inherit the watermark tag —
+        # a bare column alias propagates attribute metadata
+        # (spark.watermarkDelayMs included) and the plan then carries
+        # two event-time columns, which stateful planning rejects
+        win = wm.select("*", F.col(ts_col).alias("window_start", metadata={}))
+    elif slide_duration is not None:
+        win = wm.withColumn(
+            "window_start",
+            F.explode(_window_starts(ts_col, window_duration, slide_duration)),
+        )
+    else:
+        win = wm.withColumn(
+            "window_start", F.window(F.col(ts_col), window_duration)["start"]
+        )
     key_fields = [f for f in stream_df.schema.fields if f.name in keys]
     out_schema = StructType(
         key_fields
@@ -684,8 +736,9 @@ def streaming_windowed_tdigest(
     watermark_delay: str = "2 hours",
     digest_col: str = "digest",
     packed: bool = False,
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time windowed digests with late-data handling
+    """Tumbling (or, with ``slide_duration``, sliding) event-time windowed digests with late-data handling
     (shared plumbing: ``_streaming_windowed_sketch``).  Emits
     (keys..., window_start, digest, count) updates per batch.
 
@@ -727,6 +780,7 @@ def streaming_windowed_tdigest(
         load,
         fold,
         result,
+        slide_duration=slide_duration,
     )
 
 
@@ -741,6 +795,7 @@ def prereduce_windowed_hashes(
     with_counts: bool = False,
     out_partitions: int = 1,
     query_name: str = "prereduce_windowed_hashes",
+    slide_duration: str | None = None,
     **trigger,
 ):
     """JVM-side micro-batch pre-reduction for the windowed streaming
@@ -773,7 +828,11 @@ def prereduce_windowed_hashes(
     Returns the started ``StreamingQuery``.  ``trigger`` kwargs pass
     through (e.g. ``availableNow=True``, ``processingTime="10
     seconds"``); ``out_partitions`` bounds the per-batch staging file
-    count (compacted output is small — one row per live group)."""
+    count (compacted output is small — one row per live group).
+    ``slide_duration`` stages SLIDING windows (each event packed into
+    duration/slide overlapping groups); the packed fold then consumes
+    the staged starts verbatim, so it needs no slide parameter of its
+    own."""
     from pyspark.sql import functions as F
 
     keys = list(keys)
@@ -784,11 +843,15 @@ def prereduce_windowed_hashes(
         # (bdf.sparkSession is the streaming query's cloned session, so
         # the conf change cannot leak to other queries)
         bdf.sparkSession.conf.set(_OBJ_AGG_THRESHOLD, "16384")
+        if slide_duration is not None:
+            w_col = F.explode(
+                _window_starts(ts_col, window_duration, slide_duration)
+            )
+        else:
+            w_col = F.window(F.col(ts_col), window_duration)["start"]
         win = bdf.select(
             *keys,
-            F.window(F.col(ts_col), window_duration)["start"].alias(
-                "window_start"
-            ),
+            w_col.alias("window_start"),
             F.col(hash_col).alias("_h"),
         )
         if with_counts:
@@ -905,6 +968,7 @@ def prereduce_windowed_values(
     keys: Sequence[str] = (),
     out_partitions: int = 1,
     query_name: str = "prereduce_windowed_values",
+    slide_duration: str | None = None,
     **trigger,
 ):
     """Pack-only micro-batch pre-reduction for the VALUE-shaped
@@ -930,12 +994,16 @@ def prereduce_windowed_values(
 
     def compact(bdf, batch_id):
         bdf.sparkSession.conf.set(_OBJ_AGG_THRESHOLD, "16384")
+        if slide_duration is not None:
+            w_col = F.explode(
+                _window_starts(ts_col, window_duration, slide_duration)
+            )
+        else:
+            w_col = F.window(F.col(ts_col), window_duration)["start"]
         out = (
             bdf.select(
                 *keys,
-                F.window(F.col(ts_col), window_duration)["start"].alias(
-                    "window_start"
-                ),
+                w_col.alias("window_start"),
                 F.col(value_col).cast("double").alias("_v"),
             )
             .groupBy(*keys, "window_start")
@@ -965,8 +1033,9 @@ def streaming_windowed_hll(
     watermark_delay: str = "2 hours",
     result_col: str = "hll",
     packed: bool = False,
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time windowed HLL distinct counts (e.g. unique
+    """Tumbling (or, with ``slide_duration``, sliding) event-time windowed HLL distinct counts (e.g. unique
     URLs per source per hour in a crawl stream) — the state-EXPIRING
     form of ``streaming_hll_distinct``: per-window sketches are evicted
     once the watermark passes the window end, so an unbounded key/time
@@ -1027,6 +1096,7 @@ def streaming_windowed_hll(
         load,
         fold,
         result,
+        slide_duration=slide_duration,
     )
 
 
@@ -1041,8 +1111,9 @@ def streaming_windowed_countmin(
     watermark_delay: str = "2 hours",
     result_col: str = "countmin",
     packed: bool = False,
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time windowed count-min frequency sketches — the
+    """Tumbling (or, with ``slide_duration``, sliding) event-time windowed count-min frequency sketches — the
     state-EXPIRING form of ``streaming_countmin`` (shared plumbing:
     ``_streaming_windowed_sketch``), for per-window heavy-hitter
     estimates over an unbounded key/time space.  Same non-null int64
@@ -1104,6 +1175,7 @@ def streaming_windowed_countmin(
         load,
         fold,
         result,
+        slide_duration=slide_duration,
     )
 
 
@@ -1117,8 +1189,9 @@ def streaming_windowed_kll(
     watermark_delay: str = "2 hours",
     result_col: str = "kll",
     packed: bool = False,
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time windowed KLL quantile sketches — the
+    """Tumbling (or, with ``slide_duration``, sliding) event-time windowed KLL quantile sketches — the
     state-EXPIRING form of ``streaming_kll`` (shared plumbing:
     ``_streaming_windowed_sketch``).  NaN/NULL values are dropped like
     the batch engine; per-window sketches share the batch ``kll_sketch``
@@ -1166,6 +1239,7 @@ def streaming_windowed_kll(
         load,
         fold,
         result,
+        slide_duration=slide_duration,
     )
 
 
@@ -1179,8 +1253,9 @@ def streaming_windowed_topk(
     watermark_delay: str = "2 hours",
     result_col: str = "topk",
     packed: bool = False,
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time windowed SpaceSaving top-k — the
+    """Tumbling (or, with ``slide_duration``, sliding) event-time windowed SpaceSaving top-k — the
     state-EXPIRING form of ``streaming_topk`` (shared plumbing:
     ``_streaming_windowed_sketch``): per-window heavy hitters WITH
     identities, exact while distinct items per window stay ≤ m.  NULL
@@ -1235,6 +1310,7 @@ def streaming_windowed_topk(
         load,
         fold,
         result,
+        slide_duration=slide_duration,
     )
 
 

@@ -1026,3 +1026,138 @@ def test_prereduce_packed_values_and_topk(spark, tmp_path_factory):
             assert err == 0 and cnt == item_counts[(k[0], k[1], item)]
             total_items += 1
     assert total_items > 8 * 10  # every cell surfaced its hitters
+
+
+def test_window_starts_matches_spark_sliding_window(spark):
+    """Differential: the pure-Catalyst sliding start array
+    (_window_starts) must reproduce Spark's own F.window(ts, d, s)
+    assignment exactly — same grid, same half-open inclusion — across
+    boundary-exact, sub-second, and pre-1970 timestamps."""
+    from tdigest_spark.streaming.digest_stream import _window_starts
+
+    df = (
+        spark.range(5000)
+        .select(
+            F.col("id"),
+            F.timestamp_micros(
+                # irregular micros: crosses slide boundaries unevenly,
+                # includes exact boundaries (id%7==0 -> multiple of
+                # 900s) and negative epochs
+                F.when(F.col("id") % 7 == 0, (F.col("id") - 2500) * 900_000_000)
+                .otherwise((F.col("id") - 2500) * 13_371_337 + F.col("id") % 3)
+            ).alias("ts"),
+        )
+    )
+    mine = df.select(
+        "id",
+        F.explode(_window_starts("ts", "1 hour", "15 minutes")).alias("w"),
+    )
+    theirs = df.select(
+        "id", F.window("ts", "1 hour", "15 minutes")["start"].alias("w")
+    )
+    assert mine.count() == 5000 * 4
+    assert (
+        mine.exceptAll(theirs).count() == 0
+        and theirs.exceptAll(mine).count() == 0
+    )
+
+    with pytest.raises(ValueError, match="evenly divide"):
+        _window_starts("ts", "1 hour", "25 minutes")
+
+
+def test_streaming_sliding_windowed_hll(spark, tmp_path_factory):
+    """Sliding windowed HLL: d=2h sliding by 1h over 3 replayed
+    micro-batches — per-window estimates must land the 5% band against
+    the batch-exact sliding-window distinct counts (computed with
+    Spark's own F.window(ts, d, s)), and the two-stage pre-reduced
+    pipeline (slide staged in stage 1, packed fold consuming starts
+    verbatim) must produce IDENTICAL finals to the single-stage run."""
+    from tdigest_spark.streaming.digest_stream import (
+        prereduce_windowed_hashes,
+        read_packed_stream,
+        streaming_windowed_hll,
+    )
+
+    src = str(tmp_path_factory.mktemp("slide_src"))
+    for i in range(3):
+        (
+            spark.range(i * 40000, (i + 1) * 40000)
+            .select(
+                (F.col("id") % 4).alias("key"),
+                F.timestamp_seconds(
+                    F.unix_timestamp(F.lit("2026-01-01 00:00:00"))
+                    + (F.col("id") * 7) % 43200
+                ).alias("ts"),
+                F.xxhash64((F.col("id") % 3000).cast("string")).alias("h"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    schema = spark.read.parquet(src).schema
+
+    def replay():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    def finals(name):
+        fin = {}
+        for r in spark.sql(f"SELECT * FROM {name}").collect():
+            k = (r["key"], r["window_start"])
+            fin[k] = max(fin.get(k, 0), r["estimate"])
+        return fin
+
+    def run(df, name):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option(
+                "checkpointLocation", str(tmp_path_factory.mktemp(f"ck_{name}"))
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), name
+        return finals(name)
+
+    single = run(
+        streaming_windowed_hll(
+            replay(), "ts", "h", "2 hours", keys=["key"],
+            watermark_delay="30 days", slide_duration="1 hour",
+        ),
+        "slide_single",
+    )
+
+    exact = {
+        (r["key"], r["w"]): r["nd"]
+        for r in spark.read.parquet(src)
+        .select("key", F.window("ts", "2 hours", "1 hour")["start"].alias("w"), "h")
+        .groupBy("key", "w")
+        .agg(F.countDistinct("h").alias("nd"))
+        .collect()
+    }
+    # 12h of events -> 13 sliding starts per key (half-open overlap)
+    assert set(single) == set(exact) and len(exact) == 4 * 13
+    for k, nd in exact.items():
+        assert abs(single[k] / nd - 1.0) < 0.05, (k, single[k], nd)
+
+    stg = str(tmp_path_factory.mktemp("slide_stg")) + "/s"
+    q1 = prereduce_windowed_hashes(
+        replay(), "ts", "h", "2 hours", stg,
+        str(tmp_path_factory.mktemp("ck_slide1")), keys=["key"],
+        slide_duration="1 hour", availableNow=True,
+    )
+    assert q1.awaitTermination(300)
+    packed = run(
+        streaming_windowed_hll(
+            read_packed_stream(spark, stg), "window_start", "h",
+            "2 hours", keys=["key"], watermark_delay="30 days",
+            packed=True,
+        ),
+        "slide_packed",
+    )
+    assert packed == single
