@@ -911,14 +911,18 @@ def prereduce_windowed_hashes(
     return writer.start()
 
 
-def read_packed_stream(spark, staging_dir: str, max_files_per_trigger=None):
-    """Stream reader for a ``prereduce_windowed_hashes`` staging dir.
-    The glob treats each ``batch=<id>`` dir as a plain directory (no
-    partition-column inference), and the schema is taken from the
-    already-written files — so at least one staged batch must exist
-    (always true for the sequential availableNow pattern; for a
-    concurrent pipeline, stage 1's first batch gates stage 2 startup)."""
-    schema = spark.read.parquet(f"{staging_dir}/batch=*").schema
+def read_packed_stream(spark, staging_dir: str, max_files_per_trigger=None,
+                       schema=None):
+    """Stream reader for a ``prereduce_windowed_*`` staging dir.  The
+    glob treats each ``batch=<id>`` dir as a plain directory (no
+    partition-column inference).  Without an explicit ``schema`` it is
+    taken from the already-written files — so at least one staged batch
+    must exist (always true for the sequential availableNow pattern);
+    a CONCURRENT pipeline, where stage 2 starts before stage 1's first
+    write, must pass the staging schema explicitly (keys... +
+    ``window_start`` timestamp + the packed array column(s))."""
+    if schema is None:
+        schema = spark.read.parquet(f"{staging_dir}/batch=*").schema
     r = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))

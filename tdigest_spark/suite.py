@@ -2100,7 +2100,10 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_windowed_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling windows (host operator §2.2): daily t-digest
-    median of event values, exact counts + rank bound per window."""
+    median of event values, exact counts + rank bound per window.
+    ``stream_ok`` certifies the streaming twin over the same windows;
+    ``slide_ok`` certifies the SLIDING streaming form (2-day windows
+    advancing 1 day — exact per-window counts, rank in band)."""
     # day boundaries must match the DuckDB oracle's (UTC) regardless of
     # the driver session's timezone — scoped: materialize under UTC,
     # then restore the caller's setting
@@ -2148,7 +2151,77 @@ def q_windowed_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = q_streaming_windowed(spark, sf_dir).select(
         "day", F.col("ok").alias("stream_ok")
     )
-    return batch.join(stream, "day").orderBy("day")
+    # SLIDING twin (2-day windows advancing 1 day): every event folds
+    # into exactly two window sketches via the slide_duration explode;
+    # streamed per-window counts must EQUAL the exact sliding counts
+    # (computed with Spark's own F.window(ts, d, s) — the start grid is
+    # differential-tested in tests/test_streaming.py) and each
+    # window's median must land the rank band.  One boolean verdict is
+    # crossJoined onto every row: sliding starts include the day
+    # BEFORE the first day-row, so a per-day join cannot line up.
+    from tdigest_spark.kernel.tdigest import TDigest
+    from tdigest_spark.streaming.digest_stream import streaming_windowed_tdigest
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev = _read(spark, sf_dir, "events").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+        sstream = _replay_as_stream(spark, ev, "event_id", "suite_slide_src_")
+        out = streaming_windowed_tdigest(
+            sstream, "ts", "value", window_duration="2 days",
+            watermark_delay="720 hours", slide_duration="1 day",
+        )
+        final: dict = {}
+        for r in _run_stream_to_memory(spark, out, "suite_slide"):
+            k = r["window_start"]
+            if k not in final or r["count"] > final[k]["count"]:
+                final[k] = {"count": r["count"], "digest": bytes(r["digest"])}
+        est_rows = [
+            (k, int(v["count"]), float(TDigest.from_bytes(v["digest"]).quantile(0.5)))
+            for k, v in sorted(final.items())
+        ]
+        sest = spark.createDataFrame(est_rows, ["w", "n_stream", "p50"])
+        wins = ev.select(
+            F.window("ts", "2 days", "1 day")["start"].alias("w"), "value"
+        )
+        per_win = (
+            wins.join(F.broadcast(sest), "w", "full")
+            .groupBy("w")
+            .agg(
+                # non-NaN/non-NULL only — the digest drops both
+                F.count(F.when(~F.isnan("value"), F.col("value"))).alias("n_exact"),
+                F.first("n_stream").alias("n_stream"),
+                F.avg(
+                    F.when(
+                        ~F.isnan("value"),
+                        (F.col("value") <= F.col("p50")).cast("double"),
+                    )
+                ).alias("rank"),
+            )
+        )
+        count_ok = F.col("n_stream").eqNullSafe(F.col("n_exact")) | (
+            # an all-NaN window emits no stream state; exact side sees 0
+            (F.col("n_exact") == 0) & F.col("n_stream").isNull()
+        )
+        rank_bad = F.when(
+            F.col("n_exact") > 0,
+            F.abs(F.col("rank") - 0.5)
+            >= F.greatest(F.lit(0.03), 1.5 / F.col("n_exact")),
+        ).otherwise(F.lit(False))
+        n_bad = per_win.filter(~count_ok | rank_bad).count()
+        n_wins = per_win.count()
+        slide_verdict = spark.createDataFrame(
+            [(bool(n_bad == 0 and n_wins >= 2),)], "slide_ok boolean"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    return (
+        batch.join(stream, "day")
+        .crossJoin(F.broadcast(slide_verdict))
+        .orderBy("day")
+    )
 
 
 def q_join_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2529,7 +2602,7 @@ TDIGEST_ORACLES = {
     ),
     "windowed_percentile": (
         "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,"
-        " COUNT(*) AS n, TRUE AS ok, TRUE AS stream_ok"
+        " COUNT(*) AS n, TRUE AS ok, TRUE AS stream_ok, TRUE AS slide_ok"
         " FROM events GROUP BY 1 ORDER BY 1"
     ),
     "join_percentile": (
