@@ -56,6 +56,29 @@ def _read_steal() -> tuple[int, int]:
         return 0, 0
 
 
+def _canary_ms(reps: int = 5) -> float:
+    """Single-threaded memory-bandwidth canary: median time to stream a
+    fixed 256 MB array once.  Co-tenant interference that steals no CPU
+    ticks — shared L3 / memory-bus saturation from another VM on the
+    host — is invisible to both load1 and steal%, yet it slows the
+    bench's scan/shuffle stages in the same proportion it slows this
+    probe (observed 2026-08-17: README local[4] 1,318-1,345 ms vs the
+    901-1,004 ms quiet band at load 1.9 / steal 0.4-0.6%, with the
+    canary elevated ~38-45 ms vs the low-30s when quiet).  Recorded as
+    pure provenance, not a retry trigger: there is no settling out of a
+    co-tenant's memory traffic, only explaining it."""
+    import numpy as np
+
+    a = np.ones(32_000_000)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        s = float(a.sum())
+        times.append(time.perf_counter() - t0)
+        assert s > 0.0
+    return round(1000.0 * sorted(times)[len(times) // 2], 1)
+
+
 def _run(fn):
     """Run one query action, retrying ONCE on a transient Spark error.
 
@@ -172,6 +195,7 @@ def main() -> None:
     # that load tail (load1 ≈ 3-5) drained — below the old
     # README-pair-only threshold, so _settle never waited for them
     suite_load1 = _settle(target=2.0)
+    suite_canary = _canary_ms()
 
     spark = get_spark("tdigest-bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -280,6 +304,7 @@ def main() -> None:
         # max(4, cpus/4)=8 threshold and regressed every number
         # 17-49%; hold the README pair to the SAME <=2 bar as the suite
         pair["load1_at_start"] = round(_settle(target=2.0), 1)
+        pair["canary_ms"] = _canary_ms()
         st0, tot0 = _read_steal()
         here = os.path.dirname(os.path.abspath(__file__))
         for cores in (1, 4):
@@ -339,6 +364,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
         "suite_load1_at_start": round(suite_load1, 1),
+        "suite_canary_ms": suite_canary,
         "suite_steal_pct": suite_steal,
         **({"suite_discarded": suite_discarded} if suite_discarded else {}),
         "rows_per_sec": int(total_rows / total_time) if total_time > 0 else None,
