@@ -62,11 +62,13 @@ def _canary_ms(reps: int = 5) -> float:
     ticks — shared L3 / memory-bus saturation from another VM on the
     host — is invisible to both load1 and steal%, yet it slows the
     bench's scan/shuffle stages in the same proportion it slows this
-    probe (observed 2026-08-17: README local[4] 1,318-1,345 ms vs the
-    901-1,004 ms quiet band at load 1.9 / steal 0.4-0.6%, with the
-    canary elevated ~38-45 ms vs the low-30s when quiet).  Recorded as
-    pure provenance, not a retry trigger: there is no settling out of a
-    co-tenant's memory traffic, only explaining it."""
+    probe (first seen 2026-08-17: README local[4] 1,318-1,345 ms vs
+    the 901-1,004 ms quiet band at load 1.9 / steal 0.4-0.6%, canary
+    38-45 ms in the same window).  The quiet-box reference calibrates
+    itself across records — compare the canary BETWEEN bench JSONs, not
+    to an absolute bar.  Recorded as pure provenance, not a retry
+    trigger: there is no settling out of a co-tenant's memory traffic,
+    only explaining it."""
     import numpy as np
 
     a = np.ones(32_000_000)
