@@ -124,6 +124,22 @@ def _column_views(batch: pa.RecordBatch, inputs: Sequence[str]):
 # falls back to a stable lexsort over per-key codes
 _RADIX_MAX = 1 << 62
 
+# low-cardinality slicing: when the radix bound is small, a bincount +
+# one boolean scan per distinct code replaces the stable argsort —
+# O(k·n) SIMD passes beat the O(n log n) gather, and the row order per
+# group (ascending row index) is identical to the stable sort's
+_BINCOUNT_MAX = 4096
+_SCAN_MAX_GROUPS = 128
+
+
+def _decode_key(code: int, radix, dicts) -> tuple:
+    key = []
+    for i in reversed(range(len(radix))):
+        c = code % radix[i]
+        code //= radix[i]
+        key.append(None if c == 0 else dicts[i][c - 1])
+    return tuple(reversed(key))
+
 
 def _group_slices(batch: pa.RecordBatch, keys: Sequence[str]):
     """Yield (key_tuple, row_index_array) per distinct key combo, with
@@ -176,19 +192,26 @@ def _group_slices(batch: pa.RecordBatch, keys: Sequence[str]):
     codes = code_arrays[0]
     for i in range(1, len(keys)):
         codes = codes * radix[i] + code_arrays[i]
+    if total <= _BINCOUNT_MAX:
+        cnt = np.bincount(codes, minlength=total)
+        nz = np.flatnonzero(cnt)
+        if nz.size == 1:
+            # whole batch is one group: no gather at all
+            yield _decode_key(int(nz[0]), radix, dicts), None
+            return
+        if nz.size <= _SCAN_MAX_GROUPS:
+            for code in nz:
+                yield _decode_key(int(code), radix, dicts), np.flatnonzero(
+                    codes == code
+                )
+            return
     order = np.argsort(codes, kind="stable")
     sorted_codes = codes[order]
     boundaries = np.flatnonzero(np.diff(sorted_codes)) + 1
     starts = np.concatenate(([0], boundaries))
     ends = np.concatenate((boundaries, [n]))
     for s, e in zip(starts, ends):
-        code = int(sorted_codes[s])
-        key = []
-        for i in reversed(range(len(keys))):
-            c = code % radix[i]
-            code //= radix[i]
-            key.append(None if c == 0 else dicts[i][c - 1])
-        yield tuple(reversed(key)), order[s:e]
+        yield _decode_key(int(sorted_codes[s]), radix, dicts), order[s:e]
 
 
 def fold_group_batches(batches, keys, inputs, new_state, fold, states=None):
@@ -658,8 +681,11 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
         return None
     # key on the FULL signature tuple — a 64-bit hash() collision between
     # two different file sets would silently serve the wrong split plan;
-    # at <=64 retained entries the extra memory is trivial
-    cache_key = (tuple(sigs), repr(batch_conjuncts))
+    # at <=64 retained entries the extra memory is trivial.  Parallelism
+    # is part of the key because the adaptive split weight below derives
+    # from it.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    cache_key = (tuple(sigs), repr(batch_conjuncts), parallelism)
     cached = _PIECE_CACHE.get(cache_key)
     if cached is not None:
         pieces = cached
@@ -676,6 +702,8 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
         _, phys_sources = native_scan_ops(
             {c: col_map[c] for c in needed}, needed, pred_data
         )
+        file_rgs: list[tuple[str, list[tuple[int, int]]]] = []
+        total_bytes = 0
         for p in paths:
             try:
                 md = pq.ParquetFile(p).metadata
@@ -688,7 +716,7 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
                 # nulls; the native reader does not, so this table
                 # stays on the Catalyst path.
                 return None
-            acc, run = 0, []
+            kept: list[tuple[int, int]] = []
             for g in range(md.num_row_groups):
                 rg = md.row_group(g)
                 # row-group statistics pruning: skip a group when a
@@ -698,9 +726,22 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
                     _rg_maybe_matches(rg, cj, col_idx) for cj in batch_conjuncts
                 ):
                     continue
+                kept.append((g, rg.total_byte_size))
+                total_bytes += rg.total_byte_size
+            file_rgs.append((p, kept))
+        # scale-adaptive split weight (guide §2.2/§6: derive partition
+        # count from input size, not a constant): small inputs split down
+        # to single row groups so every core gets work; huge inputs cap
+        # at SPLIT_BYTES so task counts stay bounded.  A few-row-group
+        # file (e.g. one 6-row-group 600 MB table) would otherwise bundle
+        # into 2-3 tasks and leave the rest of the executor idle.
+        eff = min(SPLIT_BYTES, max(1 << 20, total_bytes // (2 * parallelism)))
+        for p, kept in file_rgs:
+            acc, run = 0, []
+            for g, gbytes in kept:
                 run.append(g)
-                acc += rg.total_byte_size
-                if acc >= SPLIT_BYTES:
+                acc += gbytes
+                if acc >= eff:
                     pieces.append((p, tuple(run), acc))
                     run, acc = [], 0
             if run:
@@ -783,7 +824,14 @@ def _native_partials(
     file/row-group split, batches never touch the JVM row pipeline.
     ``predicate`` (post-partition-pruning residual) is evaluated as an
     Arrow compute mask per batch; its data columns are read alongside
-    the projected sources."""
+    the projected sources.
+
+    The split list rides a broadcast and each task is seeded by a
+    one-row ``spark.range(n, numPartitions=n)`` leaf (partition i holds
+    exactly id i), so the partial stage is a plain
+    ``range → MapInArrow → Exchange`` plan: no Python-RDD pickle
+    serializer and no ``createDataFrame``-from-RDD conversion pass
+    (measured ~0.1 s of per-query driver/plan overhead)."""
     keys = list(keys)
     inputs = list(inputs)
     pred_part = pred_part or {}
@@ -793,26 +841,33 @@ def _native_partials(
     if not splits:
         return spark.createDataFrame([], partial_schema)
 
-    def scan_split(it):
-        states: dict[tuple, Any] = {}
-        for bundle in it:
-            fold_group_batches(
-                iter_bundle_batches(
-                    bundle, needed, ops, sources, predicate, pred_part, pred_data
-                ),
-                keys if grouped else [],
-                inputs, new_state, fold, states=states,
-            )
-        for key, st in states.items():
-            blob = serialize(st)
-            yield (*key, bytearray(blob) if blob is not None else None)
+    bc_splits = spark.sparkContext.broadcast(splits)
+    key_names = [f.name for f in partial_schema.fields[:-1]]
 
-    rdd = spark.sparkContext.parallelize(splits, len(splits)).mapPartitions(
-        scan_split
-    )
-    # rows are engine-built (one per group per split); skip the per-row
-    # Python schema verifier
-    return spark.createDataFrame(rdd, partial_schema, verifySchema=False)
+    def scan_split(batches):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        out_schema = to_arrow_schema(partial_schema)
+        states: dict[tuple, Any] = {}
+        for b in batches:
+            for idx in b.column(0).to_pylist():
+                fold_group_batches(
+                    iter_bundle_batches(
+                        bc_splits.value[idx], needed, ops, sources,
+                        predicate, pred_part, pred_data,
+                    ),
+                    keys if grouped else [],
+                    inputs, new_state, fold, states=states,
+                )
+        cols: dict[str, list] = {f.name: [] for f in partial_schema.fields}
+        for key, st in states.items():
+            for kname, kval in zip(key_names, key):
+                cols[kname].append(kval)
+            cols[SKETCH_COL].append(serialize(st))
+        yield record_batch_exact(cols, out_schema)
+
+    n = len(splits)
+    return spark.range(0, n, 1, n).mapInArrow(scan_split, partial_schema)
 
 
 def _rg_maybe_matches(rg_meta, conjunct, col_idx: dict) -> bool:
@@ -1138,6 +1193,10 @@ def sketch_groupby_arrow(
     )
     if not grouped:
         result = result.drop(GROUP_SENTINEL)
+    # the merge pass emits exactly one row per group — chained digest
+    # re-aggregation (rollup, union-then-quantile) keys off this marker
+    # to skip its redundant partial phase (see tdigest_agg._run_digests)
+    result._sketch_single_row_groups = True
     return result
 
 
