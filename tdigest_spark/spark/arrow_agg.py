@@ -1143,8 +1143,20 @@ def sketch_groupby_arrow(
         # yields one row (NULL result).  One literal seed row with a
         # NULL sketch guarantees the sentinel group reaches the merge
         # pass even when the scan prunes to nothing; merge ignores NULL
-        # sketches otherwise.
-        seed = df.sparkSession.createDataFrame([(0, None)], partial_schema)
+        # sketches otherwise.  Built from range(1) + typed literals —
+        # pure JVM, unlike createDataFrame's per-query Python→JVM
+        # conversion pass.
+        seed = (
+            df.sparkSession.range(1)
+            .select(
+                *[
+                    F.lit(0 if f.name == GROUP_SENTINEL else None)
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    for f in partial_schema.fields
+                ]
+            )
+        )
         partials = partials.unionByName(seed)
 
     result_schema = StructType(_key_schema(df, keys) + list(result_fields))
@@ -1193,11 +1205,49 @@ def sketch_groupby_arrow(
     )
     if not grouped:
         result = result.drop(GROUP_SENTINEL)
-    # the merge pass emits exactly one row per group — chained digest
-    # re-aggregation (rollup, union-then-quantile) keys off this marker
-    # to skip its redundant partial phase (see tdigest_agg._run_digests)
-    result._sketch_single_row_groups = True
+    # the merge pass emits exactly one row per group of these keys —
+    # chained digest re-aggregation (rollup, union-then-quantile) keys
+    # off this marker to skip its redundant partial phase, or the whole
+    # shuffle when it re-groups by the same keys (tdigest_agg._run_digests)
+    result._sketch_single_row_groups = tuple(keys) if grouped else ()
     return result
+
+
+def finalize_rows(
+    df: DataFrame,
+    keys: Sequence[str],
+    out_schema: StructType,
+    process: Callable[[list[bytes]], tuple],
+    result_fields: Sequence[StructField],
+) -> DataFrame:
+    """Per-row finalize for inputs that already hold exactly ONE sketch
+    row per group of ``keys`` (our own aggregate outputs): the grouped
+    aggregate degenerates to a row map, so no Exchange is needed — one
+    narrow mapInArrow in the producing stage replaces a full shuffle +
+    merge stage."""
+    keys = list(keys)
+    tail_fields = list(result_fields)
+
+    def run_rows(batches):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        schema_pa = to_arrow_schema(out_schema)
+        for batch in batches:
+            scol = batch.column(batch.schema.get_field_index(SKETCH_COL))
+            cols: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            key_vals = {
+                k: batch.column(batch.schema.get_field_index(k)).to_pylist()
+                for k in keys
+            }
+            for i, blob in enumerate(scol.to_pylist()):
+                tail = process([bytes(blob)] if blob is not None else [])
+                for k in keys:
+                    cols[k].append(key_vals[k][i])
+                for field, val in zip(tail_fields, tail):
+                    cols[field.name].append(val)
+            yield record_batch_exact(cols, schema_pa)
+
+    return df.mapInArrow(run_rows, out_schema)
 
 
 def _merge_pass(

@@ -249,34 +249,38 @@ def _run_values(
 
 
 def _run_digests(df, keys, digest_col, compression, fin, fields, salt):
-    if (
-        keys
-        and not salt
-        and compression is None
-        and getattr(df, "_sketch_single_row_groups", False)
-    ):
+    marker = getattr(df, "_sketch_single_row_groups", None)
+    if keys and not salt and compression is None and marker is not None:
         # the input is one of our own aggregate outputs: exactly one
-        # digest row per (finer-grained) group, so a per-partition
-        # partial fold cannot pre-reduce anything — shuffle the rows
-        # straight into the merge/finalize pass.  One fewer Python
-        # boundary per re-aggregation stage; identical merge semantics
-        # (the finalizers union every blob of a group either way).
+        # digest row per `marker` group, so a per-partition partial
+        # fold cannot pre-reduce anything.  Two degenerate shapes:
+        #   - same grouping keys: the aggregate is a pure row map
+        #     (finalize each group's single digest in place) — no
+        #     Exchange at all;
+        #   - coarser keys: shuffle the rows straight into the
+        #     merge/finalize pass, skipping only the partial phase.
+        # Identical merge semantics either way (the finalizers union
+        # every blob of a group).
         from pyspark.sql.types import StructType
 
         from tdigest_spark.spark.arrow_agg import (
             SKETCH_COL,
             _key_schema,
             _merge_pass,
+            finalize_rows,
         )
 
         keys = list(keys)
         sel = df.select(*keys, F.col(digest_col).alias(SKETCH_COL))
         result_schema = StructType(_key_schema(sel, keys) + list(fields))
-        out = _merge_pass(
-            sel, keys, result_schema, fin, emit_keys=keys,
-            result_fields=fields,
-        )
-        out._sketch_single_row_groups = True
+        if set(marker) == set(keys):
+            out = finalize_rows(sel, keys, result_schema, fin, fields)
+        else:
+            out = _merge_pass(
+                sel, keys, result_schema, fin, emit_keys=keys,
+                result_fields=fields,
+            )
+        out._sketch_single_row_groups = tuple(keys)
         return out
     return sketch_groupby_arrow(
         df, keys, [digest_col],
@@ -517,7 +521,7 @@ def tdigest_rollup(
     # branch re-aggregates it instead of re-running the scan+partial
     # stage per branch — this is what makes the rollup truly one-scan
     fine = fine.localCheckpoint(eager=True)
-    fine._sketch_single_row_groups = True  # still one row per group
+    fine._sketch_single_row_groups = tuple(keys)  # still one row per group
     out = None
     for gs in grouping_sets:
         gs = list(gs)
