@@ -52,6 +52,9 @@ MERGE_FANOUT = 256
 NATIVE_SCAN = os.environ.get("SPARK_GRAFT_NATIVE_SCAN", "1") != "0"
 # target split weight when bundling row groups of few large files
 SPLIT_BYTES = 64 << 20
+# sub-row-group row-range splitting for under-parallel plans (opt out
+# with SPARK_GRAFT_SUBSPLIT=0, e.g. for A/B measurement)
+_SUBSPLIT = os.environ.get("SPARK_GRAFT_SUBSPLIT", "1") != "0"
 # above this many files, skip driver-side footer reads and map
 # one split per file (footers would serialize the driver)
 MAX_FOOTER_READS = 4096
@@ -152,18 +155,32 @@ def _group_slices(batch: pa.RecordBatch, keys: Sequence[str]):
         # keyed aggregate over an empty batch has no groups; the radix
         # boundary arithmetic below would index into an empty array
         return
+    from tdigest_spark.kernel.arrownp import arrow_ints
+
     code_arrays = []
     dicts = []
     for k in keys:
         col = batch.column(batch.schema.get_field_index(k))
         if isinstance(col, pa.ChunkedArray):  # pragma: no cover
             col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            # small-range integer keys (enum-ish group columns): the
+            # values are their own codes after a min shift — one SIMD
+            # min/max pass + a subtract beats the hash-based
+            # dictionary_encode ~5x on 1M-row batches
+            import pyarrow.compute as pc
+
+            mm = pc.min_max(col)
+            mn = mm["min"].as_py()
+            mx = mm["max"].as_py()
+            if mn is not None and (mx - mn) < 2048 and mn > -(1 << 62):
+                code_arrays.append(arrow_ints(col, fill=mn - 1) - (mn - 1))
+                dicts.append(list(range(mn, mx + 1)))
+                continue
         dcol = col.dictionary_encode()
         # nulls in keys → code -1 → shift to a dedicated slot; the
         # fill_null + zero-copy route avoids pyarrow's pandas fallback
         # (a ~0.18 s pandas import on every fresh python worker)
-        from tdigest_spark.kernel.arrownp import arrow_ints
-
         code_arrays.append(arrow_ints(dcol.indices, fill=-1) + 1)
         dicts.append(dcol.dictionary.to_pylist())
     radix = [len(d) + 1 for d in dicts]
@@ -690,10 +707,10 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
     if cached is not None:
         pieces = cached
         return _bundle_pieces(df, pieces, col_map, needed, batch_predicate, pred_part, pred_data)
-    pieces: list[tuple[str, tuple | None, int]] = []
+    pieces: list[tuple[str, tuple | None, int, tuple | None]] = []
     if len(paths) > MAX_FOOTER_READS:
         for p, size, _ in sigs:
-            pieces.append((p, None, size))
+            pieces.append((p, None, size, None))
     else:
         import pyarrow.parquet as pq
 
@@ -716,7 +733,7 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
                 # nulls; the native reader does not, so this table
                 # stays on the Catalyst path.
                 return None
-            kept: list[tuple[int, int]] = []
+            kept: list[tuple[int, int, int]] = []
             for g in range(md.num_row_groups):
                 rg = md.row_group(g)
                 # row-group statistics pruning: skip a group when a
@@ -726,7 +743,7 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
                     _rg_maybe_matches(rg, cj, col_idx) for cj in batch_conjuncts
                 ):
                     continue
-                kept.append((g, rg.total_byte_size))
+                kept.append((g, rg.total_byte_size, rg.num_rows))
                 total_bytes += rg.total_byte_size
             file_rgs.append((p, kept))
         # scale-adaptive split weight (guide §2.2/§6: derive partition
@@ -737,15 +754,35 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
         # into 2-3 tasks and leave the rest of the executor idle.
         eff = min(SPLIT_BYTES, max(1 << 20, total_bytes // (2 * parallelism)))
         for p, kept in file_rgs:
-            acc, run = 0, []
-            for g, gbytes in kept:
+            acc, rows, run = 0, 0, []
+            for g, gbytes, grows in kept:
                 run.append(g)
                 acc += gbytes
+                rows += grows
                 if acc >= eff:
-                    pieces.append((p, tuple(run), acc))
-                    run, acc = [], 0
+                    pieces.append((p, tuple(run), acc, rows))
+                    run, acc, rows = [], 0, 0
             if run:
-                pieces.append((p, tuple(run), acc))
+                pieces.append((p, tuple(run), acc, rows))
+        if _SUBSPLIT and 0 < len(pieces) < 2 * parallelism:
+            # row-group granularity left the plan under-parallel (few
+            # fat row groups): sub-split pieces by ROW RANGE.  A range
+            # task decodes its piece's batch stream up to the range end
+            # and folds only its own rows — duplicated prefix decode is
+            # a fraction of the fold cost it parallelizes (measured:
+            # decode is ~15% of scan+fold on numeric tables).
+            subbed = []
+            for p, rgs, sz, prows in pieces:
+                nsub = min(4, max(1, round(sz / max(1, eff))))
+                if nsub < 2 or prows < nsub * _BATCH_MIN_ROWS:
+                    subbed.append((p, rgs, sz, None))
+                    continue
+                bounds = [prows * i // nsub for i in range(nsub + 1)]
+                for lo, hi in zip(bounds, bounds[1:]):
+                    subbed.append((p, rgs, sz // nsub, (lo, hi)))
+            pieces = subbed
+        else:
+            pieces = [(p, rgs, sz, None) for p, rgs, sz, _rows in pieces]
 
     if len(_PIECE_CACHE) >= _PIECE_CACHE_MAX:
         _PIECE_CACHE.pop(next(iter(_PIECE_CACHE)))
@@ -758,7 +795,7 @@ def _bundle_pieces(df, pieces, col_map, needed, batch_predicate, pred_part, pred
     # ~100 ms of Python-worker handshake, so thousands of tiny tasks
     # would dominate small jobs; 2× keeps load balance on skewed sizes)
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    total = sum(sz for *_, sz in pieces)
+    total = sum(sz for _p, _rgs, sz, _rr in pieces)
     target = max(2 * parallelism, -(-total // SPLIT_BYTES))
     target = min(target, len(pieces))
     # least-loaded-first-decreasing via a heap: O(n log n) instead of
@@ -771,9 +808,11 @@ def _bundle_pieces(df, pieces, col_map, needed, batch_predicate, pred_part, pred
 
     bins: list[list] = [[] for _ in range(target)]
     heap = [(0, i) for i in range(target)]  # already a valid heap
-    for p, rgs, sz in sorted(pieces, key=lambda x: -x[2]):
+    for p, rgs, sz, rrange in sorted(
+        pieces, key=lambda x: (-x[2], x[0], x[1] or (), x[3] or ())
+    ):
         fill, i = heapq.heappop(heap)
-        bins[i].append((p, rgs))
+        bins[i].append((p, rgs, rrange))
         heapq.heappush(heap, (fill + sz, i))
     splits = [b for b in bins if b]
     return (
@@ -954,13 +993,19 @@ def iter_bundle_batches(
     expressions (casts / length / partition constants) applied and the
     residual predicate evaluated as an Arrow mask.  ``batch_size=None``
     sizes batches per file from row-group byte stats
-    (~_BATCH_TARGET_BYTES decoded per batch)."""
+    (~_BATCH_TARGET_BYTES decoded per batch).
+
+    A bundle entry may carry a third element ``(row_lo, row_hi)``: the
+    task then folds only that pre-filter row range of the entry's batch
+    stream (zero-copy slices) and stops decoding at the range end —
+    how fat-row-group files are split below row-group granularity."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     pred_part = pred_part or {}
-    for path, rgs in bundle:
+    for entry in bundle:
+        path, rgs, rrange = entry if len(entry) == 3 else (*entry, None)
         pvals = {
             out: _hive_partition_value(path, src, op[1])
             for out, (src, op) in ops.items()
@@ -985,6 +1030,10 @@ def iter_bundle_batches(
                 "the Catalyst scan, which null-fills missing columns"
             )
         bs = batch_size if batch_size is not None else _rows_for_target(pf.metadata)
+        if rrange is not None:
+            # batches must not dwarf the row range, or every range task
+            # decodes the whole fat batch it slices one corner of
+            bs = min(bs, max(_BATCH_MIN_ROWS, rrange[1] - rrange[0]))
         if rgs is None:
             batches = pf.iter_batches(columns=list(sources), batch_size=bs)
         else:
@@ -993,7 +1042,20 @@ def iter_bundle_batches(
                 batch_size=bs,
                 row_groups=list(rgs),
             )
+        pos = 0
         for batch in batches:
+            if rrange is not None:
+                lo, hi = rrange
+                bstart, bend = pos, pos + batch.num_rows
+                pos = bend
+                if bend <= lo:
+                    continue
+                if bstart >= hi:
+                    break  # past the range: stop decoding this entry
+                s = max(lo - bstart, 0)
+                e = min(hi, bend) - bstart
+                if s > 0 or e < batch.num_rows:
+                    batch = batch.slice(s, e - s)
             if batch.num_rows == 0:
                 continue
             if predicate is not None:

@@ -80,6 +80,51 @@ def test_native_scan_partitioned_table(spark, tmp_path_factory):
     assert max(abs(x["r"] - 0.5) for x in ranks) < 0.03
 
 
+def test_native_scan_row_range_subsplits(spark, tmp_path_factory):
+    """A single fat-row-group file must sub-split into row ranges when
+    the plan would otherwise be under-parallel, and the ranges must
+    cover every row exactly once (exact count + sum parity with a
+    whole-file read); counts through the aggregate stay exact."""
+    import pyarrow.parquet as pq
+
+    from tdigest_spark.spark import arrow_agg
+    from tdigest_spark.spark.tdigest_agg import tdigest_count_agg
+
+    d = str(tmp_path_factory.mktemp("fatrg") / "t.parquet")
+    n = 200_000
+    spark.range(n).select(
+        (F.col("id") % 7).cast("int").alias("k"),
+        F.col("id").cast("double").alias("v"),
+    ).coalesce(1).write.parquet(d)
+    df = spark.read.parquet(d).select("k", "v")
+    native = arrow_agg._native_parquet_splits(df, ["k", "v"])
+    assert native is not None
+    splits = native[0]
+    entries = [e for b in splits for e in b]
+    ranged = [e for e in entries if e[2] is not None]
+    assert ranged, "fat row group should sub-split into row ranges"
+    # coverage: exact row count and value sum vs a whole-file read
+    ops, sources = arrow_agg.native_scan_ops(native[1], ["k", "v"], native[4])
+    got_n, got_sum = 0, 0.0
+    for bundle in splits:
+        for batch in arrow_agg.iter_bundle_batches(
+            bundle, ["k", "v"], ops, sources, native[2], native[3], native[4]
+        ):
+            got_n += batch.num_rows
+            got_sum += float(np.sum(batch.column(1).to_numpy()))
+    files = [f for f in __import__("os").listdir(d) if f.endswith(".parquet")]
+    t = pq.read_table(f"{d}/{files[0]}", columns=["v"])
+    assert got_n == t.num_rows
+    assert abs(got_sum - float(np.sum(t.column(0).to_numpy()))) < 1e-6
+    counts = tdigest_count_agg(df, "v", 100, keys=["k"])
+    got = {r["k"]: r["count"] for r in counts.collect()}
+    want = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
 def test_native_scan_filter_pushdown(spark, tmp_path_factory):
     """Simple predicates are pushed into the pyarrow reader: data-column
     conjuncts become Arrow compute masks, partition-column conjuncts
@@ -126,7 +171,7 @@ def test_native_scan_filter_pushdown(spark, tmp_path_factory):
     assert native2[2] is None  # fully partition-pruned, no residual
     # only the lang=en files survive pruning
     assert all(
-        "lang=en" in path for bundle in native2[0] for (path, _) in bundle
+        "lang=en" in path for bundle in native2[0] for (path, *_rest) in bundle
     )
     got2 = {
         r["lang"]: r["count"]
@@ -172,7 +217,7 @@ def test_native_scan_rowgroup_stats_pruning(spark, tmp_path_factory):
         return sum(
             len(rgs)
             for bundle in native[0]
-            for (_, rgs) in bundle
+            for (_, rgs, *_rest) in bundle
             if rgs is not None
         )
 
