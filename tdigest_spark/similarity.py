@@ -652,13 +652,13 @@ def ivf_topk_bucketed(
     # action time, so a lazily-returned frame would plan under whatever
     # conf the CALLER's session carries — on a vanilla session the
     # auto-bucketed-scan rule would silently drop pruning and full-scan
-    # the index.  The result is bounded (≤ |queries|·k rows), so eager
-    # persist+count is cheap; recomputation after cache eviction is
-    # still correct (just unpruned).  Callers may ``unpersist()`` the
-    # returned frame once consumed.
+    # the index.  localCheckpoint (eager) SEVERS the lineage, so unlike
+    # persist+count a downstream recomputation (cache eviction, lost
+    # executor with replication) can never re-plan the scan unpruned
+    # and full-scan a 10^9-vector index; the materialized result is
+    # bounded (≤ |queries|·k rows) and needs no caller unpersist.
     with bucket_pruning_enforced(spark):
-        out = out.persist()
-        out.count()
+        out = out.localCheckpoint(eager=True)
     return out
 
 

@@ -599,6 +599,7 @@ def _streaming_windowed_sketch(
     fold,
     result,
     slide_duration: str | None = None,
+    pre_assigned: bool = False,
 ) -> DataFrame:
     """Shared tumbling/sliding event-time window plumbing for every
     windowed streaming sketch (t-digest, HLL, ...): one sketch per
@@ -622,7 +623,17 @@ def _streaming_windowed_sketch(
     from pyspark.sql.types import TimestampType
 
     keys = list(keys)
-    pre_assigned = ts_col == "window_start"
+    if not pre_assigned and ts_col == "window_start":
+        # a RAW stream whose timestamp column happens to be named
+        # window_start would silently skip window assignment if we
+        # inferred pre-assignment from the name (every distinct ts its
+        # own state group, window_duration ignored) — force the caller
+        # to disambiguate
+        raise ValueError(
+            "ts_col='window_start' but packed=False: rename the raw "
+            "timestamp column, or set packed=True if this stream is "
+            "prereduce staging output"
+        )
     if pre_assigned:
         # the packed staging format streams a pre-assigned column
         # already NAMED window_start; replacing it via withColumn below
@@ -781,6 +792,7 @@ def streaming_windowed_tdigest(
         fold,
         result,
         slide_duration=slide_duration,
+        pre_assigned=packed,
     )
 
 
@@ -817,11 +829,17 @@ def prereduce_windowed_hashes(
     O(groups x batches), so the exchange overhead amortizes across
     each row's packed array.
 
-    Exactly-once: a replayed micro-batch (failure/restart) re-derives
-    the SAME compaction (file-source WAL pins the batch's files) and
+    Exactly-once — for the SEQUENTIAL (availableNow) pattern only: a
+    replayed micro-batch (failure/restart) re-derives the SAME
+    compaction (file-source WAL pins the batch's files) and
     ``mode("overwrite")`` on its ``batch=<id>`` dir makes the re-write
     idempotent — safe for count-sensitive sketches, not just the
-    duplication-insensitive HLL.  NULL hashes are dropped by
+    duplication-insensitive HLL.  A CONCURRENT stage-2 reader tracks
+    seen files by PATH, so an overwrite that renames part files can
+    re-ingest a replayed batch (double counting) or delete files
+    mid-scan; run stage 2 after stage 1 finishes, or make replays
+    path-stable (write to a temp dir + deterministic rename) before
+    overlapping them.  NULL hashes are dropped by
     ``collect_set``/``groupBy`` (the unpacked fold instead REJECTS a
     nullable hash column — keep the upstream non-null contract).
 
@@ -1101,6 +1119,7 @@ def streaming_windowed_hll(
         fold,
         result,
         slide_duration=slide_duration,
+        pre_assigned=packed,
     )
 
 
@@ -1145,11 +1164,13 @@ def streaming_windowed_countmin(
         if col.empty:
             return False
         if packed:
-            hashes = _packed_hashes(col)
+            # one mask must govern both sibling arrays (hashes, counts)
+            # so a row skipped on one side can never shift the pairing —
+            # same invariant the top-k packed fold already enforces
+            hashes, counts = _packed_pairs(col, pdf[counts_col])
             if hashes is None:
                 return False
-            counts = _packed_hashes(pdf[counts_col])
-            cm.add_hashes(hashes, counts)
+            cm.add_hashes(np.asarray(hashes, dtype=np.int64), counts)
             return True
         if col.dtype != np.int64:
             # a NULL in the batch coerces the series to float64,
@@ -1180,6 +1201,7 @@ def streaming_windowed_countmin(
         fold,
         result,
         slide_duration=slide_duration,
+        pre_assigned=packed,
     )
 
 
@@ -1244,6 +1266,7 @@ def streaming_windowed_kll(
         fold,
         result,
         slide_duration=slide_duration,
+        pre_assigned=packed,
     )
 
 
@@ -1315,6 +1338,7 @@ def streaming_windowed_topk(
         fold,
         result,
         slide_duration=slide_duration,
+        pre_assigned=packed,
     )
 
 

@@ -1063,10 +1063,9 @@ def q_ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
-        # ivf_topk_bucketed returns its (bounded) result persisted —
-        # the verdict is collected, so release the cache before the
-        # scratch table drops
-        ivf.unpersist()
+        # ivf_topk_bucketed returns a localCheckpoint-ed (lineage-free)
+        # bounded result — nothing to unpersist; the checkpoint RDD is
+        # released with the frame
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     return spark.createDataFrame(
