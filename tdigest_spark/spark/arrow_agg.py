@@ -764,16 +764,19 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
                     run, acc, rows = [], 0, 0
             if run:
                 pieces.append((p, tuple(run), acc, rows))
-        if _SUBSPLIT and 0 < len(pieces) < 2 * parallelism:
-            # row-group granularity left the plan under-parallel (few
-            # fat row groups): sub-split pieces by ROW RANGE.  A range
-            # task decodes its piece's batch stream up to the range end
-            # and folds only its own rows — duplicated prefix decode is
-            # a fraction of the fold cost it parallelizes (measured:
-            # decode is ~15% of scan+fold on numeric tables).
+        if _SUBSPLIT and 0 < len(pieces) < parallelism:
+            # row-group granularity left cores IDLE (fewer pieces than
+            # the executor width): sub-split pieces by ROW RANGE, aiming
+            # for ~one task wave total — a second wave of Python tasks
+            # costs more than it balances (measured +0.3 s at 64 vs 32
+            # tasks on the 32-file flagship).  A range task decodes its
+            # piece's batch stream up to the range end and folds only
+            # its own rows; the duplicated prefix decode is a fraction
+            # of the fold cost it parallelizes.
+            want = -(-parallelism // len(pieces))  # ceil
             subbed = []
             for p, rgs, sz, prows in pieces:
-                nsub = min(4, max(1, round(sz / max(1, eff))))
+                nsub = min(4, want, max(1, round(sz / max(1, eff))))
                 if nsub < 2 or prows < nsub * _BATCH_MIN_ROWS:
                     subbed.append((p, rgs, sz, None))
                     continue
@@ -791,12 +794,15 @@ def _native_parquet_splits(df: DataFrame, needed: Sequence[str]):
 
 
 def _bundle_pieces(df, pieces, col_map, needed, batch_predicate, pred_part, pred_data):
-    # bundle pieces into ~2×parallelism tasks (an RDD task costs
-    # ~100 ms of Python-worker handshake, so thousands of tiny tasks
-    # would dominate small jobs; 2× keeps load balance on skewed sizes)
+    # bundle pieces into ~parallelism tasks: a SECOND wave of Python
+    # tasks costs ~0.3 s of pure dispatch on a 32-core box (measured,
+    # 64 vs 32 no-op tasks), which outweighs the balance it buys —
+    # first-fit-decreasing over known piece sizes balances one wave
+    # well.  Huge inputs still fan out past one wave via the
+    # total/SPLIT_BYTES term.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     total = sum(sz for _p, _rgs, sz, _rr in pieces)
-    target = max(2 * parallelism, -(-total // SPLIT_BYTES))
+    target = max(parallelism, -(-total // SPLIT_BYTES))
     target = min(target, len(pieces))
     # least-loaded-first-decreasing via a heap: O(n log n) instead of
     # the O(pieces × bins) fill.index(min(fill)) scan, which at ~160k
